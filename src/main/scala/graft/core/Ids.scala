@@ -1,0 +1,53 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Content-hash ids and deterministic dictionary encoding.
+  *
+  * Id rule mirrors `compute_mdhash_id` (reference
+  * src/hipporag/utils/misc_utils.py:141-152 and embedding_store.py:11-13):
+  * `"<ns>-" + md5(utf8(content))`, lowercase hex. Spark's built-in `md5`
+  * produces identical output.
+  */
+object Ids {
+  val ChunkNs  = "chunk-"
+  val EntityNs = "entity-"
+  val FactNs   = "fact-"
+
+  def mdhash(ns: String, content: Column): Column = concat(lit(ns), md5(content))
+
+  /** Deterministic dictionary encoding of string keys → dense Longs [0, n).
+    *
+    * id(key) = rank of key in the globally sorted distinct key set. NOT
+    * `monotonically_increasing_id` (partition-layout-dependent) and NOT a
+    * global single-partition window (driver bottleneck at web scale):
+    * range-partition the distinct keys, sort within partitions, then assign
+    * `partitionOffset + localIndex`. Because range partitioning keeps
+    * partitions globally ordered, the result equals the global sorted rank
+    * for ANY partition-boundary placement — deterministic across
+    * parallelism levels, and each partition only touches its own slice.
+    */
+  def dictionary(keys: DataFrame, keyCol: String, idCol: String = "vid"): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val distinctKeys = keys.select(col(keyCol).cast("string")).na.drop().distinct()
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    // Persisted: counted once for offsets, then re-read for id assignment —
+    // without the cache the range-partitioned sort would run twice.
+    val sorted = distinctKeys
+      .repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .as[String]
+      .persist()
+    val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    sorted.rdd
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val base = bcOffsets.value(pid)
+        it.zipWithIndex.map { case (k, i) => (k, base + i) }
+      }
+      .toDF(keyCol, idCol)
+  }
+}

@@ -1,0 +1,273 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algo.{ConnectedComponents, Ppr, PprConfig, Triangles, LabelProp}
+import graft.core.{Ids, TextOps}
+import graft.extract.Extract
+import graft.graph.{Adjacency, GraphBuild}
+import graft.ops.{Ann, Dedup, TextMetrics}
+
+/** The driver-facing query catalog over the sfDir parquet tables
+  * (documents / embeddings / events). Every query here has a DuckDB oracle
+  * in [[Oracles]] unless stated; names map 1:1 to SURVEY.md §2 operators.
+  *
+  * All queries order their output deterministically and round float
+  * aggregates where engines may differ in summation order.
+  */
+object DocQueries {
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  def embeddingsTable(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+
+  /** documents → (doc_id, chunk_id, content). One chunk per doc. */
+  def chunks(s: SparkSession, dir: String): DataFrame =
+    Extract.chunks(documents(s, dir), "text", Seq("doc_id"))
+
+  /** Chunk-distinct adjacent-token triples (U2 substitute, P2 dedup). */
+  def triples(s: SparkSession, dir: String): DataFrame =
+    Extract.adjacentTriples(chunks(s, dir).dropDuplicates("chunk_id"))
+
+  // ------------------------------------------------------------ P1/F1/F2/F3
+
+  def qTextProcessing(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), TextOps.textProcessing(col("text")).as("norm"))
+      .orderBy("doc_id")
+
+  def qChunkIds(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), Ids.mdhash(Ids.ChunkNs, col("text")).as("chunk_id"))
+      .orderBy("doc_id")
+
+  def qNormalizeAnswer(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"), TextOps.normalizeAnswer(col("text")).as("norm_answer"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ SO1/U2/A1/A2/A4
+
+  def qEntities(s: SparkSession, dir: String): DataFrame =
+    Extract.entities(Extract.chunkEntities(triples(s, dir)))
+      .select(col("entity"), col("entity_id"))
+      .orderBy("entity")
+
+  def qTriples(s: SparkSession, dir: String): DataFrame =
+    triples(s, dir).orderBy("chunk_id", "subj", "pred", "obj")
+
+  def qFactEdges(s: SparkSession, dir: String): DataFrame =
+    GraphBuild.factEdges(triples(s, dir))
+      .select(col("src"), col("dst"), col("weight"))
+      .orderBy("src", "dst")
+
+  def qPassageEdges(s: SparkSession, dir: String): DataFrame =
+    GraphBuild.passageEdges(Extract.chunkEntities(triples(s, dir)))
+      .select(col("src"), col("dst"), col("weight"))
+      .orderBy("src", "dst")
+
+  def qEntityDf(s: SparkSession, dir: String): DataFrame =
+    Extract.chunkEntities(triples(s, dir))
+      .groupBy("entity").agg(countDistinct("chunk_id").as("df"))
+      .orderBy("entity")
+
+  // ------------------------------------------------------------ F4/W2/A7
+
+  def qMinMax(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    documents(s, dir)
+      .select(col("doc_id"),
+        round(VectorOps.minMaxOver(col("n_chars").cast("double")), 9).as("mm"))
+      .orderBy("doc_id")
+  }
+
+  def qTopKDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+    documents(s, dir)
+      .select(col("doc_id"), col("n_chars"), row_number().over(w).as("rank"))
+      .where(col("rank") <= 5)
+      .orderBy("rank")
+  }
+
+  def qGraphStats(s: SparkSession, dir: String): DataFrame = {
+    val t = triples(s, dir)
+    val ce = Extract.chunkEntities(t)
+    t.select(
+      countDistinct("chunk_id").as("n_chunks"),
+      countDistinct("subj", "pred", "obj").as("n_facts"))
+     .crossJoin(ce.select(countDistinct("entity").as("n_entities")))
+     .crossJoin(GraphBuild.factEdges(t).select(count(lit(1)).as("n_fact_edges")))
+     .select("n_chunks", "n_facts", "n_entities", "n_fact_edges")
+  }
+
+  // ------------------------------------------------------------ SO4/SO5 (I1/I3)
+
+  /** Idempotent-upsert candidates: docs NOT already "stored" (stored =
+    * doc_id % 3 == 0 as the stand-in prior snapshot) — left-anti by hash.
+    */
+  def qUpsertAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val stored = docs.where(col("doc_id") % 3 === 0)
+      .select(md5(col("text")).as("h")).distinct()
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(stored, Seq("h"), "left_anti")
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  /** Refcounted delete: removing docs with doc_id < 100, which entities
+    * become unreferenced (appear in NO surviving doc)?
+    */
+  def qDeleteRefcount(s: SparkSession, dir: String): DataFrame = {
+    val t = triples(s, dir)
+    val withDoc = chunks(s, dir).select("doc_id", "chunk_id")
+      .join(Extract.chunkEntities(t), "chunk_id")
+    withDoc.groupBy("entity")
+      .agg(max(when(col("doc_id") >= 100, 1).otherwise(0)).as("survives"))
+      .where(col("survives") === 0)
+      .select("entity").orderBy("entity")
+  }
+
+  // ------------------------------------------------------------ dedup family
+
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(documents(s, dir), "text", "doc_id")
+      .orderBy("text_hash")
+
+  def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minHashSignatures(documents(s, dir), "text", "doc_id",
+      numHashes = 16, shingleWidth = 3)
+    Dedup.minHashCandidates(sigs, bands = 4, rowsPerBand = 4)
+      .orderBy("a", "b")
+  }
+
+  def qSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(documents(s, dir), "text", "doc_id")
+      .orderBy("key")
+
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
+      shingleWidth = 3, threshold = 0.5)
+      .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
+      .orderBy("a", "b")
+
+  // ------------------------------------------------------------ similarity
+
+  def qCosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddingsTable(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("v"))
+    val queries = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("string").as("qid"), col("v").as("qvec"))
+    val keys = emb.select(col("vec_id").cast("string").as("kid"), col("v").as("kvec"))
+    Ann.bruteForceTopK(queries, keys, k = 10, excludeSelf = true)
+      .select(col("qid").cast("long").as("qid"), col("kid").cast("long").as("kid"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddingsTable(s, dir)
+      .select(col("vec_id").cast("string").as("id"),
+        col("embedding").cast("array<float>").as("v"))
+    Ann.lshTopK(emb, "id", "v", k = 10, nPlanes = 8, dim = 64)
+      .select(col("qid").cast("long").as("qid"), col("kid").cast("long").as("kid"),
+        col("rank"))
+      .orderBy("qid", "rank")
+  }
+
+  // ------------------------------------------------------------ text metrics
+
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    TextMetrics.langId(documents(s, dir), "text")
+      .select("doc_id", "pred_lang").orderBy("doc_id")
+
+  def qQuality(s: SparkSession, dir: String): DataFrame =
+    TextMetrics.quality(documents(s, dir), "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_token_len"), 9).as("avg_token_len"),
+        round(col("stopword_ratio"), 9).as("stopword_ratio"),
+        round(col("alnum_ratio"), 9).as("alnum_ratio"))
+      .orderBy("doc_id")
+
+  def qTokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextMetrics.tokenCounts(documents(s, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextMetrics.fingerprint(documents(s, dir), "text", "doc_id")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ graph algos (G1/G4/G5/G6)
+
+  /** Entity co-occurrence graph (fact edges only), string-keyed. */
+  private def entityArcs(s: SparkSession, dir: String): DataFrame =
+    Adjacency.symmetrize(GraphBuild.factEdges(triples(s, dir)))
+
+  private def entityVertices(s: SparkSession, dir: String): DataFrame =
+    Extract.entities(Extract.chunkEntities(triples(s, dir)))
+      .select(Ids.mdhash(Ids.EntityNs, col("entity")).as("vid"))
+
+  def qConnectedComponents(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = ConnectedComponents.run(entityArcs(s, dir), entityVertices(s, dir))
+    labels.select(col("vid").as("entity_id"), col("component")).orderBy("entity_id")
+  }
+
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val (perVertex, _) = Triangles.run(entityArcs(s, dir), entityVertices(s, dir))
+    perVertex.select(col("vid").as("entity_id"), col("triangles")).orderBy("entity_id")
+  }
+
+  def qDegrees(s: SparkSession, dir: String): DataFrame =
+    entityArcs(s, dir).groupBy(col("src").as("entity_id"))
+      .agg(round(sum("weight"), 6).as("wdegree"), count(lit(1)).as("degree"))
+      .orderBy("entity_id")
+
+  /** PPR over the full doc graph (fact + passage edges), seeded at the
+    * highest-df entity. No SQL oracle (iterative fixpoint) — correctness
+    * is pinned by the networkx goldens in PprSpec; rows-only check here.
+    */
+  def qPpr(s: SparkSession, dir: String): DataFrame = {
+    val t = triples(s, dir)
+    val edges = GraphBuild.edges(
+      GraphBuild.factEdges(t),
+      GraphBuild.passageEdges(Extract.chunkEntities(t)))
+    val verts = GraphBuild.vertices(
+      Extract.entities(Extract.chunkEntities(t)),
+      chunks(s, dir).dropDuplicates("chunk_id"))
+    val dict = Ids.dictionary(verts.select("key"), "key")
+    val arcs = Adjacency.encode(Adjacency.symmetrize(edges), dict)
+    val topEntity = Extract.chunkEntities(t)
+      .groupBy("entity").agg(countDistinct("chunk_id").as("df"))
+      .orderBy(col("df").desc, col("entity").asc).limit(1)
+      .select(Ids.mdhash(Ids.EntityNs, col("entity")).as("key"))
+    val seeds = topEntity.join(dict, "key").select(lit(0L).as("qid"), col("vid"), lit(1.0).as("weight"))
+    val (scores, _) = Ppr.run(s, arcs, dict.count(), seeds, PprConfig(tol = 1e-10))
+    scores.join(dict, "vid")
+      .select(col("key"), round(col("score"), 9).as("score"))
+      .orderBy(col("score").desc, col("key").asc)
+  }
+
+  /** Synchronous min-label LPA on the entity graph — rows-only (iterative). */
+  def qLpa(s: SparkSession, dir: String): DataFrame = {
+    val (labels, _) = LabelProp.run(entityArcs(s, dir), entityVertices(s, dir), maxIter = 10)
+    labels.select(col("vid").as("entity_id"), col("label")).orderBy("entity_id")
+  }
+
+  // ------------------------------------------------------------ events (F8, windows)
+
+  def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  def qWindowAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .orderBy("hour", "event_type")
+}

@@ -1,0 +1,303 @@
+package graft.entry
+
+/** DuckDB oracle SQL for every SQL-expressible query in [[DocQueries]].
+  * Each statement reproduces the Spark semantics exactly: same md5-based
+  * hashing (engine-portable), same normalization regex, same tie-breaks,
+  * same output column names/types (aggregates CAST to match Spark), same
+  * ORDER BY. Iterative fixpoints (PPR, LPA) have no SQL oracle — they are
+  * pinned by committed networkx goldens instead (src/test/resources/
+  * goldens) and get the driver's rows-only check.
+  */
+object Oracles {
+
+  /** Shared prelude: documents → normalized docs, per-chunk tokens,
+    * adjacent-token triples, chunk-entity sets, per-doc tokens, shingles,
+    * fact edges. Mirrors graft.extract.Extract + graft.graph.GraphBuild.
+    */
+  private val prelude: String = """
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text, n_chars,
+         concat('chunk-', md5(text)) AS chunk_id,
+         trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')) AS norm
+  FROM documents
+),
+chunksd AS (SELECT DISTINCT chunk_id, norm FROM docs),
+toks0 AS (
+  SELECT chunk_id,
+         unnest(regexp_split_to_array(norm, ' +')) AS tok,
+         generate_subscripts(regexp_split_to_array(norm, ' +'), 1) AS pos
+  FROM chunksd
+),
+toks AS (SELECT * FROM toks0 WHERE tok <> ''),
+dtoks0 AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(norm, ' +')) AS tok,
+         generate_subscripts(regexp_split_to_array(norm, ' +'), 1) AS pos
+  FROM docs
+),
+dtoks AS (SELECT * FROM dtoks0 WHERE tok <> ''),
+triples AS (
+  SELECT DISTINCT t1.chunk_id, t1.tok AS subj, t2.tok AS pred, t3.tok AS obj
+  FROM toks t1
+  JOIN toks t2 ON t2.chunk_id = t1.chunk_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.chunk_id = t1.chunk_id AND t3.pos = t1.pos + 2
+),
+chunk_ents AS (
+  SELECT DISTINCT chunk_id, subj AS entity FROM triples
+  UNION
+  SELECT DISTINCT chunk_id, obj AS entity FROM triples
+),
+fe AS (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM (
+    SELECT concat('entity-', md5(subj)) AS src, concat('entity-', md5(obj)) AS dst
+    FROM triples WHERE subj <> obj
+    UNION ALL
+    SELECT concat('entity-', md5(obj)), concat('entity-', md5(subj))
+    FROM triples WHERE subj <> obj
+  ) GROUP BY src, dst
+),
+symarcs AS (
+  SELECT src, dst, sum(weight) AS weight FROM (
+    SELECT src, dst, weight FROM fe
+    UNION ALL
+    SELECT dst AS src, src AS dst, weight FROM fe
+  ) GROUP BY src, dst
+),
+ents AS (SELECT DISTINCT concat('entity-', md5(entity)) AS v FROM chunk_ents),
+dsh AS (
+  SELECT DISTINCT d1.doc_id, concat(d1.tok, ' ', d2.tok, ' ', d3.tok) AS sh
+  FROM dtoks d1
+  JOIN dtoks d2 ON d2.doc_id = d1.doc_id AND d2.pos = d1.pos + 1
+  JOIN dtoks d3 ON d3.doc_id = d1.doc_id AND d3.pos = d1.pos + 2
+)
+"""
+
+  private def q(body: String): String = prelude + body
+
+  private val enStop = graft.ops.TextMetrics.enStop.map(s => s"'$s'").mkString(", ")
+  private val deStop = graft.ops.TextMetrics.deStop.map(s => s"'$s'").mkString(", ")
+  private val frStop = graft.ops.TextMetrics.frStop.map(s => s"'$s'").mkString(", ")
+
+  val sql: Map[String, String] = Map(
+    "q01_text_processing" -> q(
+      "SELECT doc_id, norm FROM docs ORDER BY doc_id"),
+
+    "q02_chunk_ids" -> q(
+      "SELECT doc_id, chunk_id FROM docs ORDER BY doc_id"),
+
+    "q03_normalize_answer" -> q(
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |  '[!"#$%&''()*+,\-./:;<=>?@\[\\\]^_`{|}~]', '', 'g'),
+        |  '\b(a|an|the)\b', ' ', 'g'),
+        |  '\s+', ' ', 'g')) AS norm_answer
+        |FROM docs ORDER BY doc_id""".stripMargin),
+
+    "q04_entities" -> q(
+      """SELECT entity, concat('entity-', md5(entity)) AS entity_id
+        |FROM (SELECT DISTINCT entity FROM chunk_ents) ORDER BY entity""".stripMargin),
+
+    "q05_triples" -> q(
+      "SELECT chunk_id, subj, pred, obj FROM triples ORDER BY chunk_id, subj, pred, obj"),
+
+    "q06_fact_edges" -> q(
+      "SELECT src, dst, weight FROM fe ORDER BY src, dst"),
+
+    "q07_passage_edges" -> q(
+      """SELECT src, dst, CAST(1.0 AS DOUBLE) AS weight FROM (
+        |  SELECT DISTINCT chunk_id AS src, concat('entity-', md5(entity)) AS dst
+        |  FROM chunk_ents) ORDER BY src, dst""".stripMargin),
+
+    "q08_entity_df" -> q(
+      """SELECT entity, count(DISTINCT chunk_id) AS df FROM chunk_ents
+        |GROUP BY entity ORDER BY entity""".stripMargin),
+
+    "q09_minmax" -> q(
+      """SELECT doc_id, round(CASE WHEN mx = mn THEN 1.0
+        |  ELSE CAST(n_chars - mn AS DOUBLE) / (mx - mn) END, 9) AS mm
+        |FROM (SELECT doc_id, n_chars, min(n_chars) OVER () AS mn,
+        |             max(n_chars) OVER () AS mx FROM documents)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q10_topk_docs" -> q(
+      """SELECT doc_id, n_chars, rank FROM (
+        |  SELECT doc_id, n_chars,
+        |         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS INTEGER) AS rank
+        |  FROM documents) WHERE rank <= 5 ORDER BY rank""".stripMargin),
+
+    "q11_graph_stats" -> q(
+      """SELECT
+        |  (SELECT count(DISTINCT chunk_id) FROM triples) AS n_chunks,
+        |  (SELECT count(*) FROM (SELECT DISTINCT subj, pred, obj FROM triples)) AS n_facts,
+        |  (SELECT count(DISTINCT entity) FROM chunk_ents) AS n_entities,
+        |  (SELECT count(*) FROM fe) AS n_fact_edges""".stripMargin),
+
+    "q12_upsert_antijoin" -> q(
+      """SELECT doc_id FROM docs WHERE md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents WHERE doc_id % 3 = 0)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q13_delete_refcount" -> q(
+      """SELECT entity FROM (
+        |  SELECT ce.entity, max(CASE WHEN d.doc_id >= 100 THEN 1 ELSE 0 END) AS survives
+        |  FROM chunk_ents ce JOIN docs d ON d.chunk_id = ce.chunk_id
+        |  GROUP BY ce.entity)
+        |WHERE survives = 0 ORDER BY entity""".stripMargin),
+
+    "q14_dedup_exact" -> q(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin),
+
+    "q15_minhash_lsh" -> q(
+      """SELECT a, b, count(*) AS shared_bands FROM (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, l.band
+        |  FROM (SELECT doc_id, (i // 4) AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
+        |        FROM (SELECT doc_id, i, min(md5(concat(i, ':', sh))) AS mh
+        |              FROM dsh CROSS JOIN range(16) r(i) GROUP BY doc_id, i)
+        |        GROUP BY doc_id, (i // 4)) l
+        |  JOIN (SELECT doc_id, (i // 4) AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
+        |        FROM (SELECT doc_id, i, min(md5(concat(i, ':', sh))) AS mh
+        |              FROM dsh CROSS JOIN range(16) r(i) GROUP BY doc_id, i)
+        |        GROUP BY doc_id, (i // 4)) r
+        |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+        |GROUP BY a, b ORDER BY a, b""".stripMargin),
+
+    "q16_simhash" -> q(
+      """SELECT doc_id AS "key",
+        |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM (
+        |  SELECT doc_id, j,
+        |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |        FROM dtoks)
+        |  CROSS JOIN range(32) r(j)
+        |  GROUP BY doc_id, j)
+        |GROUP BY doc_id ORDER BY "key"""".stripMargin),
+
+    "q17_ngram_jaccard" -> q(
+      """SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 9) AS jaccard FROM (
+        |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
+        |  FROM dsh l JOIN dsh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+        |  GROUP BY l.doc_id, r.doc_id) inter
+        |JOIN (SELECT doc_id, count(*) AS na FROM dsh GROUP BY doc_id) sa ON sa.doc_id = a
+        |JOIN (SELECT doc_id, count(*) AS nb FROM dsh GROUP BY doc_id) sb ON sb.doc_id = b
+        |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
+        |ORDER BY a, b""".stripMargin),
+
+    "q18_cosine_topk" -> """
+      |WITH ev AS (
+      |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |),
+      |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+      |        FROM ev GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS kid,
+      |         sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      |  FROM ev a JOIN ev b ON a.i = b.i
+      |  WHERE a.vec_id < 8 AND a.vec_id <> b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id),
+      |scored AS (
+      |  SELECT d.qid, d.kid, d.dot / (qa.nv * qb.nv) AS score
+      |  FROM dots d JOIN nrm qa ON qa.vec_id = d.qid JOIN nrm qb ON qb.vec_id = d.kid)
+      |SELECT qid, kid, rank FROM (
+      |  SELECT qid, kid,
+      |         CAST(row_number() OVER (PARTITION BY qid
+      |           ORDER BY score DESC, CAST(kid AS VARCHAR) ASC) AS INTEGER) AS rank
+      |  FROM scored) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin,
+
+    "q20_lang_id" -> q(
+      s"""SELECT d.doc_id, CASE
+         |  WHEN en > de AND en > fr AND en > 0 THEN 'en'
+         |  WHEN de > en AND de > fr AND de > 0 THEN 'de'
+         |  WHEN fr > en AND fr > de AND fr > 0 THEN 'fr'
+         |  ELSE 'und' END AS pred_lang
+         |FROM docs d LEFT JOIN (
+         |  SELECT doc_id,
+         |    CAST(count(*) FILTER (tok IN ($enStop)) AS DOUBLE) / count(*) AS en,
+         |    CAST(count(*) FILTER (tok IN ($deStop)) AS DOUBLE) / count(*) AS de,
+         |    CAST(count(*) FILTER (tok IN ($frStop)) AS DOUBLE) / count(*) AS fr
+         |  FROM dtoks GROUP BY doc_id) r ON r.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    "q21_quality" -> q(
+      s"""SELECT d.doc_id,
+         |  CAST(coalesce(t.n, 0) AS INTEGER) AS n_tokens,
+         |  round(coalesce(t.avg_len, 0.0), 9) AS avg_token_len,
+         |  round(coalesce(t.sw, 0.0), 9) AS stopword_ratio,
+         |  round(CASE WHEN length(d.text) > 0 THEN
+         |    CAST(length(regexp_replace(d.text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+         |      / length(d.text) ELSE 0.0 END, 9) AS alnum_ratio
+         |FROM docs d LEFT JOIN (
+         |  SELECT doc_id, count(*) AS n,
+         |    CAST(sum(length(tok)) AS DOUBLE) / count(*) AS avg_len,
+         |    CAST(count(*) FILTER (tok IN ($enStop)) AS DOUBLE) / count(*) AS sw
+         |  FROM dtoks GROUP BY doc_id) t ON t.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    "q22_token_counts" -> q(
+      """SELECT d.doc_id,
+        |  CAST(coalesce(w.n, 0) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(d.text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS INTEGER)
+        |    AS subword_tokens
+        |FROM docs d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok FROM docs)
+        |  WHERE tok <> '' GROUP BY doc_id) w ON w.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q23_fingerprint" -> q(
+      """SELECT d.doc_id, md5(d.norm) AS doc_fp, f.mfp AS min_shingle_fp
+        |FROM docs d LEFT JOIN (
+        |  SELECT d1.doc_id, min(md5(concat_ws(' ', d1.tok, d2.tok, d3.tok, d4.tok,
+        |                                           d5.tok, d6.tok, d7.tok, d8.tok))) AS mfp
+        |  FROM dtoks d1
+        |  JOIN dtoks d2 ON d2.doc_id = d1.doc_id AND d2.pos = d1.pos + 1
+        |  JOIN dtoks d3 ON d3.doc_id = d1.doc_id AND d3.pos = d1.pos + 2
+        |  JOIN dtoks d4 ON d4.doc_id = d1.doc_id AND d4.pos = d1.pos + 3
+        |  JOIN dtoks d5 ON d5.doc_id = d1.doc_id AND d5.pos = d1.pos + 4
+        |  JOIN dtoks d6 ON d6.doc_id = d1.doc_id AND d6.pos = d1.pos + 5
+        |  JOIN dtoks d7 ON d7.doc_id = d1.doc_id AND d7.pos = d1.pos + 6
+        |  JOIN dtoks d8 ON d8.doc_id = d1.doc_id AND d8.pos = d1.pos + 7
+        |  GROUP BY d1.doc_id) f ON f.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q24_connected_components" -> q(
+      """, arcs AS (SELECT src, dst FROM symarcs),
+        |reach(v, m) AS (
+        |  SELECT v, v FROM ents
+        |  UNION
+        |  SELECT a.dst, r.m FROM reach r JOIN arcs a ON a.src = r.v)
+        |SELECT v AS entity_id, min(m) AS component FROM reach
+        |GROUP BY v ORDER BY entity_id""".stripMargin),
+
+    "q25_triangles" -> q(
+      """SELECT e.v AS entity_id, CAST(coalesce(t.c, 0) AS BIGINT) AS triangles
+        |FROM ents e LEFT JOIN (
+        |  SELECT v, count(*) AS c FROM (
+        |    WITH und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |                 FROM fe WHERE src <> dst GROUP BY 1, 2),
+        |    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |            FROM und e1
+        |            JOIN und e2 ON e2.a = e1.b
+        |            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        |  GROUP BY v) t ON t.v = e.v
+        |ORDER BY entity_id""".stripMargin),
+
+    "q26_degrees" -> q(
+      """SELECT src AS entity_id, round(sum(weight), 6) AS wdegree,
+        |       count(*) AS degree
+        |FROM symarcs GROUP BY src ORDER BY entity_id""".stripMargin),
+
+    "q28_json_extract" -> """
+      |SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin,
+
+    "q29_window_agg" -> """
+      |SELECT date_trunc('hour', ts) AS hour, event_type,
+      |       count(*) AS n, round(sum(value), 6) AS total
+      |FROM events GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY hour, event_type""".stripMargin
+  )
+}

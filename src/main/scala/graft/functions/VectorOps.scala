@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx
+
+/** Vector math over `Array[Float]` columns. The hot path is the native
+  * codegen'd [[org.apache.spark.sql.graftx.DotProduct]] expression; see
+  * that file for rationale.
+  */
+object VectorOps {
+
+  /** Column wrapper over the codegen'd DotProduct expression. */
+  def dot(a: Column, b: Column): Column =
+    graftx.column(graftx.DotProduct(graftx.expression(a), graftx.expression(b)))
+
+  /** Pure-builtin composition (zip_with + aggregate) — the portable
+    * fallback; kept for plan-comparison tests against [[dot]].
+    */
+  def dotBuiltin(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine for unit vectors == dot; general cosine divides by norms. */
+  def cosine(a: Column, b: Column): Column = {
+    val num = dot(a, b)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(num / (na * nb))
+  }
+
+  /** min-max normalize a column over the whole frame, reproducing the
+    * reference edge case: zero range → all ones
+    * (reference src/hipporag/utils/misc_utils.py:130-139).
+    */
+  def minMaxOver(c: Column): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val mn = min(c).over(w)
+    val mx = max(c).over(w)
+    when(mx === mn, lit(1.0)).otherwise((c - mn) / (mx - mn))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.TextOps
+
+/** Large-scale corpus deduplication operators. All hashing goes through
+  * `md5` so every operator is reproducible in ANSI SQL (the DuckDB oracle)
+  * and stable across engines/parallelism — no engine-private hash functions
+  * in result-affecting positions.
+  *
+  * Reference analog: the content-hash dedup that drives HippoRAG's
+  * idempotent upserts (src/hipporag/embedding_store.py:100-134); the
+  * near-dup family (MinHash/SimHash/Jaccard/cosine) is the standard
+  * web-corpus extension of the same id rule.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one keeper (min key) per text group.
+    * @return (text_hash, keeper, dup_count)
+    */
+  def exact(docs: DataFrame, textCol: String, keyCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(keyCol)).as("keeper"), count(lit(1)).as("dup_count"))
+
+  /** Tokens of the normalized text (shared by the shingle-based ops). */
+  private def toks(textCol: String): Column =
+    TextOps.tokens(TextOps.textProcessing(col(textCol)))
+
+  /** w-token shingles as strings ("tok1 tok2 tok3"). */
+  def shingles(textCol: String, w: Int): Column = {
+    val t = toks(textCol)
+    val n = size(t)
+    val grams = transform(sequence(lit(0), n - w), i =>
+      concat_ws(" ", (0 until w).map(j => element_at(t, i + j + 1)): _*))
+    array_distinct(when(n >= w, grams).otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash over md5 as a STRING min: hᵢ(doc) = min over shingles of
+    * md5(i || ':' || shingle) — lexicographic min of hex strings is a
+    * perfectly good permutation proxy and is engine-portable (no hex→int
+    * conversion games). Signature length = `numHashes`.
+    * @return (key, sig: array<string> of length numHashes)
+    */
+  def minHashSignatures(docs: DataFrame, textCol: String, keyCol: String,
+                        numHashes: Int, shingleWidth: Int): DataFrame = {
+    val sh = docs.select(col(keyCol).as("key"),
+        explode(shingles(textCol, shingleWidth)).as("sh"))
+    val hashed = sh.select(col("key"),
+        explode(array((0 until numHashes).map(i =>
+          struct(lit(i).as("i"), md5(concat(lit(s"$i:"), col("sh"))).as("h"))): _*)).as("ih"))
+      .select(col("key"), col("ih.i").as("i"), col("ih.h").as("h"))
+    hashed.groupBy("key", "i").agg(min("h").as("mh"))
+      .groupBy("key")
+      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("s"))
+      .select(col("key"), transform(col("s"), x => x.getField("mh")).as("sig"))
+  }
+
+  /** LSH banding: docs sharing any band land in the same bucket; emit
+    * candidate pairs (a < b). bands × rowsPerBand must equal numHashes.
+    * @return (a, b, shared_bands)
+    */
+  def minHashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("key"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+              element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("bh"))): _*)).as("bb"))
+      .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val l = banded.select(col("band"), col("bh"), col("key").as("a"))
+    val r = banded.select(col("band"), col("bh"), col("key").as("b"))
+    l.join(r, Seq("band", "bh"))
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** 32-bit SimHash from the md5 of each token: token bits = first 8 hex
+    * chars as an unsigned 32-bit int; simhash bit j = majority vote.
+    * Portable: `conv(hex,16,10)` (Spark) == `CAST('0x'||hex AS BIGINT)`
+    * (DuckDB). Token multiplicity counts as weight.
+    * @return (key, simhash: long)
+    */
+  def simHash(docs: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val tok = docs.select(col(keyCol).as("key"), explode(toks(textCol)).as("tok"))
+    val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val withBits = tok.select(col("key"),
+      array((0 until 32).map(j =>
+        when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)): _*).as("bits"))
+    withBits.groupBy("key")
+      .agg(array((0 until 32).map(j =>
+        sum(element_at(col("bits"), j + 1))): _*).as("votes"))
+      .select(col("key"),
+        (0 until 32).map(j =>
+          when(element_at(col("votes"), j + 1) > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. */
+  def simHashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    val l = sims.select(col("key").as("a"), col("simhash").as("ha"))
+    val r = sims.select(col("key").as("b"), col("simhash").as("hb"))
+    l.join(r, col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .where(col("hamming") <= maxHamming)
+      .select("a", "b", "hamming")
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs above a threshold.
+    * |A∩B| via a shingle-join, |A∪B| = |A|+|B|−|A∩B|.
+    * @return (a, b, jaccard)
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
+                        shingleWidth: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(keyCol).as("key"),
+        explode(shingles(textCol, shingleWidth)).as("sh"))
+    val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
+    val l = sh.select(col("sh"), col("key").as("a"))
+    val r = sh.select(col("sh"), col("key").as("b"))
+    val inter = l.join(r, Seq("sh")).where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("key").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("key").as("b"), col("n").as("nb")), "b")
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .where(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+}

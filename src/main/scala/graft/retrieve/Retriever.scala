@@ -1,0 +1,199 @@
+package graft.retrieve
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algo.{Ppr, PprConfig, PprCsr}
+import graft.core.Ids
+import graft.extract.Embeddings
+import graft.functions.VectorOps
+import graft.graph.Adjacency
+
+/** Multi-query retrieval: the reference `retrieve` loop
+  * (src/hipporag/HippoRAG.py:413-499 → graph_search_with_fact_entities
+  * 1544-1656 → run_ppr 1709-1749) re-expressed as ONE DataFrame pipeline
+  * for all queries at once — per-query python loops become `qid`-keyed
+  * joins, and all queries converge inside a single multi-source PPR job
+  * (SURVEY.md §3.2(b)).
+  *
+  * Deterministic divergences from the reference (documented, tie-only):
+  *  - fact tie-break at equal scores: reference keeps the later-inserted
+  *    fact first (np.argsort stability, HippoRAG.py:1685-1688); our fact
+  *    order is fact_id-sorted, ties break to larger fact_id.
+  *  - phrase-tie order at equal linking scores: reference = set iteration
+  *    order (nondeterministic); ours = smaller phrase first.
+  *  - the DSPy rerank filter (U4, rerank.py:15-131) is the identity
+  *    pass-through: candidate order is preserved.
+  */
+object Retriever {
+
+  case class RetrieveConfig(
+      linkTopK: Int = 5,            // config_utils.py:184-187
+      retrievalTopK: Int = 200,     // config_utils.py:188-191
+      passageNodeWeight: Double = 0.05, // config_utils.py:91-94
+      damping: Double = 0.5,        // config_utils.py:192-195
+      pprTol: Double = 1e-12,
+      // Broadcast-or-shuffle selection (north rule): below this vertex
+      // count the dense Q×V rank state fits comfortably in memory, so PPR
+      // runs on the CSR broadcast kernel (no shuffle, one job/iter);
+      // above it, the sparse shuffle gather-scatter path takes over.
+      csrMaxVertices: Long = 2000000L)
+
+  /** Query embeddings mirror the two instruction channels
+    * (HippoRAG.py:1391-1425, prompts/linking.py): one vector for fact
+    * scoring, one for passage scoring.
+    */
+  def queryFrame(spark: SparkSession, queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("qid", "query")
+      .withColumn("qvec_fact",
+        Embeddings.hashUnitUdf(concat(lit("query_to_fact:"), col("query"))))
+      .withColumn("qvec_passage",
+        Embeddings.hashUnitUdf(concat(lit("query_to_passage:"), col("query"))))
+  }
+
+  /** Fact scores per query: dot against every fact embedding, min-max
+    * normalized per query (get_fact_scores, HippoRAG.py:1427-1465).
+    */
+  def factScores(queries: DataFrame, factEmb: DataFrame): DataFrame = {
+    val scored = factEmb.join(broadcast(queries.select("qid", "qvec_fact")))
+      .select(col("qid"), col("hash_id").as("fact_id"), col("content"),
+        VectorOps.dot(col("qvec_fact"), col("embedding")).as("raw"))
+    val w = Window.partitionBy("qid")
+    scored
+      .withColumn("mn", min("raw").over(w))
+      .withColumn("mx", max("raw").over(w))
+      .withColumn("score",
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("raw") - col("mn")) / (col("mx") - col("mn"))))
+      .select("qid", "fact_id", "content", "score")
+  }
+
+  /** DPR: passage scores per query, min-max normalized
+    * (dense_passage_retrieval, HippoRAG.py:1467-1502).
+    */
+  def dprScores(queries: DataFrame, chunkEmb: DataFrame): DataFrame = {
+    val scored = chunkEmb.join(broadcast(queries.select("qid", "qvec_passage")))
+      .select(col("qid"), col("hash_id").as("chunk_id"),
+        VectorOps.dot(col("qvec_passage"), col("embedding")).as("raw"))
+    val w = Window.partitionBy("qid")
+    scored
+      .withColumn("mn", min("raw").over(w))
+      .withColumn("mx", max("raw").over(w))
+      .withColumn("dpr",
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("raw") - col("mn")) / (col("mx") - col("mn"))))
+      .select("qid", "chunk_id", "dpr")
+  }
+
+  /** Full graph retrieval for a batch of queries.
+    * @return (qid, chunk_id, content, score, rank) — top `retrievalTopK`
+    *         passages per query by PPR score.
+    */
+  def retrieve(
+      store: GraphStore,
+      queries: Seq[(Long, String)],
+      cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
+    val spark = store.spark
+    val qdf = queryFrame(spark, queries).cache()
+
+    val triplesNow = store.triples.read()
+    val chunkEnts = graft.extract.Extract.chunkEntities(triplesNow)
+    // A4: df = |chunks containing the entity| (ent_node_to_chunk_ids).
+    val entityDf = chunkEnts
+      .select(Ids.mdhash(Ids.EntityNs, col("entity")).as("entity_id"), col("chunk_id"))
+      .groupBy("entity_id").agg(countDistinct("chunk_id").as("df"))
+
+    // --- W2: top-k facts per query (argsort desc, ties → larger id first)
+    val fs = factScores(qdf, store.factEmb.read())
+    val wf = Window.partitionBy("qid").orderBy(col("score").desc, col("fact_id").desc)
+    val topFacts = fs.withColumn("rn", row_number().over(wf))
+      .where(col("rn") <= cfg.linkTopK)
+
+    // Parse the fact tuple back to (s,p,o) — we store s,p,o as columns
+    // instead of eval()ing strings (F10): join back to the facts table.
+    val facts = graft.extract.Extract.facts(triplesNow)
+    val tf = topFacts.join(facts, Seq("fact_id"))
+
+    // --- G2 phrase weights: mean over fact occurrences of score/df.
+    // Phrases absent from the graph are SKIPPED (reference phrase_id None
+    // path, HippoRAG.py:1597) — hence the inner join; every graph entity
+    // has df ≥ 1, so the np.divide where≠0 guard (HippoRAG.py:1608) can
+    // only fire for df=0 rows, which cannot exist here.
+    val phraseContrib = tf.select(col("qid"), col("score"), col("subj").as("phrase"))
+      .unionAll(tf.select(col("qid"), col("score"), col("obj").as("phrase")))
+      .withColumn("entity_id", Ids.mdhash(Ids.EntityNs, col("phrase")))
+      .join(entityDf, Seq("entity_id"))
+      .withColumn("contrib", col("score") / col("df"))
+    val phraseWeights = phraseContrib
+      .groupBy("qid", "entity_id", "phrase")
+      .agg((sum("contrib") / count(lit(1))).as("pw"))
+
+    // --- W3: keep linking_top_k phrases per query, zero the rest.
+    val wp = Window.partitionBy("qid").orderBy(col("pw").desc, col("phrase").asc)
+    val keptPhrases = phraseWeights.withColumn("rn", row_number().over(wp))
+      .where(col("rn") <= cfg.linkTopK)
+      .select(col("qid"), col("entity_id").as("key"), col("pw").as("weight"))
+
+    // --- passage weights: minmax(DPR) × passage_node_weight, all passages.
+    val dpr = dprScores(qdf, store.chunkEmb.read())
+    val passageWeights = dpr.select(col("qid"), col("chunk_id").as("key"),
+      (col("dpr") * cfg.passageNodeWeight).as("weight"))
+
+    val seedsByKey = keptPhrases.unionByName(passageWeights)
+
+    // --- encode to vids, run multi-query PPR over the symmetrized graph.
+    val verts = store.vertices.read()
+    val dict = graft.core.Ids.dictionary(verts.select("key"), "key")
+    val nVertices = dict.count()
+    val arcs = Adjacency.encode(Adjacency.symmetrize(store.edges.read()), dict)
+    val seeds = seedsByKey.join(dict, "key").select("qid", "vid", "weight")
+
+    val scores: DataFrame =
+      if (nVertices <= cfg.csrMaxVertices) {
+        import spark.implicits._
+        val blocks = graft.graph.Adjacency.csrBlocks(spark, arcs,
+          edgesPerBlock = 1 << 16)
+        val outW = {
+          val a = new Array[Double](nVertices.toInt)
+          graft.graph.Adjacency.outWeights(arcs).collect()
+            .foreach(r => a(r.getAs[Long]("src").toInt) = r.getAs[Double]("out_w"))
+          a
+        }
+        val seedSeq = seeds.collect()
+          .groupBy(_.getAs[Long]("qid")).toSeq.sortBy(_._1)
+          .map { case (q, rows) =>
+            q -> rows.toSeq.map(r => (r.getAs[Long]("vid"), r.getAs[Double]("weight")))
+          }
+        val (arr, _) = PprCsr.run(blocks, outW, seedSeq,
+          PprConfig(damping = cfg.damping, tol = cfg.pprTol))
+        arr.flatMap { case (q, xs) =>
+          xs.iterator.zipWithIndex.collect { case (x, v) if x != 0.0 => (q, v.toLong, x) }
+        }.toDF("qid", "vid", "score")
+      } else {
+        Ppr.run(spark, arcs, nVertices, seeds,
+          PprConfig(damping = cfg.damping, tol = cfg.pprTol))._1
+      }
+
+    // --- W6 readout: passage nodes only, rank desc per query.
+    val passages = verts.where(col("kind") === graft.graph.GraphBuild.PassageKind)
+      .join(dict, "key")
+      .select(col("vid"), col("key").as("chunk_id"), col("content"))
+    val ranked = scores.join(passages, "vid")
+      .select(col("qid"), col("chunk_id"), col("content"), col("score"))
+    val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("chunk_id").asc)
+    ranked.withColumn("rank", row_number().over(wr))
+      .where(col("rank") <= cfg.retrievalTopK)
+  }
+
+  /** StandardRAG / DPR-only ranking (reference StandardRAG.py:422-429, W1):
+    * full ordering of passages by normalized dense score.
+    */
+  def denseRetrieve(store: GraphStore, queries: Seq[(Long, String)], topK: Int): DataFrame = {
+    val qdf = queryFrame(store.spark, queries)
+    val dpr = dprScores(qdf, store.chunkEmb.read())
+    val w = Window.partitionBy("qid").orderBy(col("dpr").desc, col("chunk_id").asc)
+    dpr.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
+  }
+}

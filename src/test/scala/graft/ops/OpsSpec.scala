@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.extract.Embeddings
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different text about spark catalyst optimizer and shuffle planning"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"),  // exact dup of 0
+    (4L, "ein anderer text der die deutsche sprache ist und nicht englisch ist")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val d = Dedup.exact(docs, "text", "doc_id").collect()
+    val dupGroup = d.find(_.getAs[Long]("dup_count") == 2L)
+    assert(dupGroup.isDefined)
+    assert(dupGroup.get.getAs[Long]("keeper") == 0L)
+    assert(d.length == 4) // 5 docs, one pair merged
+  }
+
+  test("minhash LSH surfaces the near-dup pair and skips unrelated docs") {
+    val sigs = Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 16, shingleWidth = 3)
+    assert(sigs.select(size(col("sig"))).distinct().as[Int].collect().toSeq == Seq(16))
+    val cand = Dedup.minHashCandidates(sigs, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    assert(cand.contains((0L, 3L)), "exact dups must share all bands")
+    assert(cand.contains((0L, 1L)) || cand.contains((1L, 3L)),
+      "near-dups sharing most shingles should collide in some band")
+    assert(!cand.exists { case (a, b) => Set(a, b).contains(2L) && Set(a, b).contains(4L) })
+  }
+
+  test("simhash: identical texts equal, near-dups close, unrelated far") {
+    val s = Dedup.simHash(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("key") -> r.getAs[Long]("simhash")).toMap
+    assert(s(0L) == s(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(0L), s(1L)) < ham(s(0L), s(2L)))
+    val pairs = Dedup.simHashPairs(
+      Dedup.simHash(docs, "text", "doc_id"), maxHamming = 0).collect()
+    assert(pairs.exists(r => r.getAs[Long]("a") == 0L && r.getAs[Long]("b") == 3L))
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated absent") {
+    val p = Dedup.ngramJaccardPairs(docs, "text", "doc_id", shingleWidth = 3, threshold = 0.3)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(p((0L, 3L)) == 1.0)
+    assert(p((0L, 1L)) > 0.5 && p((0L, 1L)) < 1.0)
+    assert(!p.keySet.exists { case (a, b) => Set(a, b).contains(2L) })
+  }
+
+  test("LSH ANN recall vs brute force is high on clustered vectors") {
+    // 3 tight clusters of 20 vectors each: cluster center + small jitter.
+    val vecs = (0 until 60).map { i =>
+      val c = Embeddings.hashUnit(s"center${i / 20}", 32)
+      val j = Embeddings.hashUnit(s"jitter$i", 32)
+      val v = c.zip(j).map { case (a, b) => a + 0.15f * b }
+      (i.toString, v)
+    }.toDF("id", "v")
+    val queries = vecs.select(col("id").as("qid"), col("v").as("qvec"))
+    val keys = vecs.select(col("id").as("kid"), col("v").as("kvec"))
+    val exact = Ann.bruteForceTopK(queries, keys, k = 5)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    val approx = Ann.lshTopK(vecs, "id", "v", k = 5, nPlanes = 4, dim = 32)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("TopKAgg equals window-based top-k") {
+    val data = (0 until 500).map(i => (s"q${i % 5}", s"k$i", (i * 37 % 101).toDouble))
+      .toDF("qid", "kid", "score")
+    val viaAgg = data.groupBy("qid")
+      .agg(graft.functions.TopKAgg.topK(7)(col("kid"), col("score")).as("top"))
+      .select(col("qid"), explode(col("top")).as("sk"))
+      .select(col("qid"), col("sk.kid").as("kid")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col("kid").asc)
+    val viaWindow = data.withColumn("rn", row_number().over(w)).where(col("rn") <= 7)
+      .select("qid", "kid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("multimodal: byte-histogram features and frame sampling plumbing") {
+    val media = Seq(
+      ("u1", "image", Array.fill[Byte](256)(7)),
+      ("u2", "video", (0 until 1000).map(_.toByte).toArray),
+      ("u3", "audio", Array.emptyByteArray)
+    ).toDF("url", "media_type", "payload")
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.url -> f).toMap
+    assert(feats("u1").features(0) == 1.0f) // all bytes = 7 → nibble 0 bucket
+    assert(feats("u1").nBytes == 256)
+    assert(feats("u3").features.forall(_ == 0f) && feats("u3").nBytes == 0)
+    assert(feats.values.forall(_.features.length == 16))
+
+    val frames = Multimodal.sampleFrames(media.where(col("url") === "u2"), n = 4, frameBytes = 100)
+      .collect()
+    assert(frames.length == 4)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 100))
+  }
+
+  test("text metrics: langId and quality behave on known inputs") {
+    val out = TextMetrics.langId(docs, "text")
+      .select("doc_id", "pred_lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(out(0L) == "en" && out(4L) == "de")
+    val q = TextMetrics.quality(docs, "text", "doc_id").where(col("doc_id") === 0).collect().head
+    assert(q.getAs[Int]("n_tokens") == 14)
+    assert(q.getAs[Double]("stopword_ratio") > 0.2)
+  }
+}

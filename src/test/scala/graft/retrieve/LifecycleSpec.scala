@@ -1,0 +1,99 @@
+package graft.retrieve
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.extract.Extract
+
+/** Mirrors the reference lifecycle integration flow
+  * (reference tests/integration/_shared.py:5-15 over the 9-doc corpus,
+  * utils/sample_data.py): index → retrieve → reopen from disk → identical
+  * retrieve → incremental index → delete → retrieve back to original.
+  */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    "Alice visited Paris. Paris hosts Louvre.",
+    "Bob founded Acme. Acme acquired Paris Office.",
+    "Louvre describes Art. Alice reviewed Art.",
+    "Carol cites Alice. Carol visited Acme.",
+    "Dave endorses Paris. Dave quotes Bob.")
+  private val extraDocs = Seq(
+    "Eve mentions Montebello. Montebello links Paris.",
+    "Frank cites Montebello. Montebello hosts Festival.")
+
+  private def freshStore(): GraphStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    new GraphStore(spark, dir)
+  }
+
+  test("index → retrieve → reopen → incremental → delete lifecycle") {
+    val store = freshStore()
+    val stats1 = Indexer.index(store, docs.toDF("content"))
+    assert(stats1.totalChunks == 5L)
+    assert(stats1.entities > 0 && stats1.edges > 0)
+
+    val queries = Seq(0L -> "where is the Louvre", 1L -> "who founded Acme")
+    val r1 = Retriever.retrieve(store, queries,
+        Retriever.RetrieveConfig(retrievalTopK = 5))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[String]("chunk_id"))).toSet
+    assert(r1.nonEmpty)
+
+    // Reopen from disk: a brand-new store object over the same root must
+    // return identical rankings (snapshot persistence, I4).
+    val reopened = new GraphStore(spark, store.root)
+    val r2 = Retriever.retrieve(reopened, queries,
+        Retriever.RetrieveConfig(retrievalTopK = 5))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[String]("chunk_id"))).toSet
+    assert(r1 == r2, "reopened store must retrieve identically")
+
+    // Idempotent re-index: same docs, no growth (I1 / SO5).
+    val statsRe = Indexer.index(store, docs.toDF("content"))
+    assert(statsRe.totalChunks == 5L)
+    assert(statsRe.entities == stats1.entities)
+    assert(statsRe.edges == stats1.edges)
+
+    // Incremental index: extra docs share entity "paris" (refcount>1).
+    val stats2 = Indexer.index(store, extraDocs.toDF("content"))
+    assert(stats2.totalChunks == 7L)
+    assert(stats2.entities > stats1.entities)
+
+    // Delete the extras: back to the original state exactly (I3).
+    val stats3 = Indexer.delete(store, extraDocs.toDF("content"))
+    assert(stats3.totalChunks == 5L)
+    assert(stats3.entities == stats1.entities, "shared entities must survive, orphans go")
+    assert(stats3.edges == stats1.edges)
+    val r3 = Retriever.retrieve(store, queries,
+        Retriever.RetrieveConfig(retrievalTopK = 5))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[String]("chunk_id"))).toSet
+    assert(r1 == r3, "post-delete retrieval must match the original")
+  }
+
+  test("synonymy edges appear for string-similar entities and respect τ/cap") {
+    val store = freshStore()
+    Indexer.index(store, Seq(
+      "Montebello links Paris. Montebellos cites Paris.",
+      "Montebello hosts Festival. Montebellos mentions Festival.").toDF("content"))
+    val syn = store.edges.read().where(col("etype") === graft.graph.GraphBuild.Synonym)
+    // 'montebello' vs 'montebellos' share almost all trigrams → cos ≥ 0.8.
+    assert(syn.count() >= 2, "expected synonymy edges between near-identical phrases")
+    val verts = store.vertices.read()
+    val synNames = syn.join(verts.select(col("key").as("src"), col("content").as("src_name")), "src")
+      .select("src_name").distinct().as[String].collect().toSet
+    assert(synNames.contains("montebello") || synNames.contains("montebellos"))
+  }
+
+  test("per-row invariant: text byte-identical per url through the pipeline") {
+    val pages = graft.ingest.PageSynth.pagesDF(spark, 64)
+    val chunks = Extract.chunks(pages, "text", Seq("url"))
+    val joined = pages.select(col("url"), col("text"))
+      .join(chunks.select(col("url"), col("content")), "url")
+    assert(joined.count() == 64)
+    assert(joined.where(col("text") =!= col("content")).count() == 0)
+    assert(joined.where(sha2(col("text"), 256) =!= sha2(col("content"), 256)).count() == 0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.PageSynth
+
+class StreamIngestSpec extends SparkSpec {
+
+  test("streaming ingest drains pages exactly-once across restarts") {
+    val in = Files.createTempDirectory("pages_in").toString
+    val sink = Files.createTempDirectory("triples_sink").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    // Batch 1: 16 pages arrive.
+    PageSynth.pagesDF(spark, 16).write.mode("append").parquet(in)
+    StreamIngest.ingestPages(spark, in, sink, ckpt).awaitTermination()
+    val afterFirst = spark.read.parquet(sink).count()
+    assert(afterFirst > 0)
+
+    // Rerun with no new data: exactly-once → no growth.
+    StreamIngest.ingestPages(spark, in, sink, ckpt).awaitTermination()
+    assert(spark.read.parquet(sink).count() == afterFirst)
+
+    // Batch 2: 16 MORE pages (indices 16..31) arrive; only the delta lands.
+    import spark.implicits._
+    spark.range(16, 32).map(i => PageSynth.page(i, 42L, 500, 64)).toDF()
+      .write.mode("append").parquet(in)
+    StreamIngest.ingestPages(spark, in, sink, ckpt).awaitTermination()
+    val afterSecond = spark.read.parquet(sink).count()
+    assert(afterSecond > afterFirst)
+
+    // The streamed triples equal the batch extraction over all 32 pages.
+    val batch = graft.extract.Extract.sentenceTriples(
+      graft.extract.Extract.chunks(
+        PageSynth.pagesDF(spark, 32), "text", Seq("url")))
+    assert(afterSecond == batch.count())
+  }
+
+  test("watermarked windowed counts match batch aggregation on closed windows") {
+    import spark.implicits._
+    val events = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 00:10:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 00:50:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 01:10:00"), "error", 3.0)
+    ).toDF("ts", "event_type", "value")
+    val out = StreamIngest.windowedEventCounts(events).collect()
+    val clickHour0 = out.find(r => r.getAs[String]("event_type") == "click").get
+    assert(clickHour0.getAs[Long]("n") == 2L)
+    assert(clickHour0.getAs[Double]("total") == 3.0)
+  }
+}
