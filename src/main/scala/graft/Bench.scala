@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Ppr, PprConfig, PprCsr}
+import graft.algo.{PprConfig, PprShard}
 import graft.graph.Adjacency
 
 /** Round benchmark. Two parts:
@@ -29,6 +29,36 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Hardware strong-scaling ceiling: pure-JVM hash burn on N threads,
+    * no Spark. On shared cloud cores, 4× threads rarely buys 4× clock
+    * cycles (turbo/cache/hypervisor) — the engine's measured efficiency
+    * must be read against this ceiling, so measure it in the same run.
+    */
+  private def hwCeiling(): (Double, Double, Double) = {
+    def burn(threads: Int, perThread: Int): Double = {
+      val (_, t) = timed {
+        val ts = (0 until threads).map { i =>
+          new Thread(() => {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            var h = Array.fill[Byte](64)(i.toByte)
+            var k = 0
+            while (k < perThread) { h = md.digest(h); k += 1 }
+            if (h(0) == 123 && h(1) == 45) println("") // defeat DCE
+          })
+        }
+        ts.foreach(_.start())
+        ts.foreach(_.join())
+      }
+      t
+    }
+    val per = 3000000
+    burn(4, per / 4) // warmup
+    val t8 = burn(8, per)   // total work 8·per
+    val t32 = burn(32, per) // total work 32·per (4×)
+    // eff = (thr32/thr8)/4 = ((32/t32)/(8/t8))/4 = t8/t32
+    (t8 / t32, t8, t32)
+  }
+
   private def session(cores: Int, shufflePartitions: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -37,68 +67,98 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // The scaling kernel broadcasts a dense double[] rank state each
+      // iteration — compression burns serial CPU for ~no size win.
+      .config("spark.broadcast.compress", "false")
+      // The pages table is ~30 small files; the default 128 MB bin-packing
+      // would coalesce the scan to ~3 partitions and serialize the whole
+      // narrow extraction chain. Size scan partitions to the core count.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** Build the synthetic pages graph once and persist arcs as parquet so
-    * both parallelism levels read IDENTICAL input (same files, same
-    * stats).
+  /** Persist the synthetic pages table once so both parallelism levels
+    * run the SAME job over IDENTICAL input files.
     */
-  private def buildScalingInput(spark: SparkSession, nPages: Long, dir: String): (Long, Long) = {
+  private def writeScalingPages(spark: SparkSession, nPages: Long, nEntities: Int,
+                                dir: String): Unit =
+    graft.ingest.PageSynth.pagesDF(spark, nPages, nEntities = nEntities)
+      .write.mode("overwrite").parquet(s"$dir/pages")
+
+  case class LevelResult(
+      buildWall: Double, pprWall: Double, totalWall: Double,
+      nV: Long, nE: Long, iters: Long,
+      edgesPerSec: Double, itersPerSec: Double, queriesPerSec: Double)
+
+  /** One scaling-level measurement: the full link-graph job — pages →
+    * extraction → fact edge table → encoded symmetric arcs → Q per-query
+    * PPRs to 1e-6 (query-sharded strategy: CSR broadcast once, queries
+    * embarrassingly parallel — the serving shape of the reference's
+    * per-query `run_ppr`). Median of `reps` for the PPR phase; build
+    * phase measured once per level (deterministic, IO-bound tail).
+    */
+  private def runLevel(spark: SparkSession, dir: String, nQueries: Int,
+                       reps: Int): LevelResult = {
     import graft.extract.Extract
     import graft.graph.GraphBuild
-    val pages = graft.ingest.PageSynth.pagesDF(spark, nPages, nEntities = 2000)
+    val tb0 = System.nanoTime()
+    def lap(label: String, since: Long): Long = {
+      val now = System.nanoTime()
+      System.err.println(f"[bench] $label: ${(now - since) / 1e9}%.1fs")
+      now
+    }
+    val pages = spark.read.parquet(s"$dir/pages")
     val chunks = Extract.chunks(pages, "text", Seq("url"))
     val triples = Extract.sentenceTriples(chunks)
-    val edges = GraphBuild.edges(
-      GraphBuild.factEdges(triples),
-      GraphBuild.passageEdges(Extract.chunkEntities(triples)))
-    val verts = GraphBuild.vertices(
-      Extract.entities(Extract.chunkEntities(triples)),
-      chunks.dropDuplicates("chunk_id"))
-    val dict = graft.core.Ids.dictionary(verts.select("key"), "key")
-    val arcs = Adjacency.encode(Adjacency.symmetrize(edges), dict)
-    arcs.write.mode("overwrite").parquet(s"$dir/arcs")
+    // Persisted: the edge table feeds the dictionary, the encode join and
+    // the CSR collect — without the cache the extraction DAG runs 3x.
+    val edges = GraphBuild.factEdges(triples)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count()
+    val t1 = lap("extract+edges", tb0)
+    val dict = graft.core.Ids.dictionary(
+      edges.select(col("src").as("key"))
+        .unionAll(edges.select(col("dst").as("key"))), "key")
     val nV = dict.count()
-    val nE = spark.read.parquet(s"$dir/arcs").count()
-    (nV, nE)
-  }
+    val t2 = lap("dictionary", t1)
+    val arcs = Adjacency.encode(Adjacency.symmetrize(edges), dict)
+    val csr = PprShard.buildLocal(arcs, nV.toInt)
+    lap("encode+collect", t2)
+    edges.unpersist(false)
+    val buildWall = (System.nanoTime() - tb0) / 1e9
 
-  /** One scaling-level measurement: multi-query PPR (CSR broadcast path,
-    * the throughput kernel) to 1e-6 L1 convergence; median of `reps`.
-    */
-  private def pprThroughput(spark: SparkSession, dir: String, nV: Long,
-                            reps: Int): (Double, Double, Int, Double) = {
-    val arcs = spark.read.parquet(s"$dir/arcs")
-    val blocks = Adjacency.csrBlocks(spark, arcs,
-      edgesPerBlock = math.max(1024, (arcs.count() /
-        math.max(1, spark.sparkContext.defaultParallelism * 4)).toInt))
-    blocks.persist().count()
-    val outW = {
-      val a = new Array[Double](nV.toInt)
-      Adjacency.outWeights(arcs).collect()
-        .foreach(r => a(r.getAs[Long]("src").toInt) = r.getAs[Double]("out_w"))
-      a
-    }
-    val seeds = (0L until 4L).map(q => q -> Seq((q * 7 % nV, 1.0)))
+    val seeds = (0L until nQueries.toLong).map(q => q -> Seq(((q * 31 + 1) % nV, 1.0)))
+    val cfg = PprConfig(damping = 0.5, tol = 1e-6 / nV)
+    // 4 shards per core: per-query iteration counts vary, finer shards
+    // smooth the stragglers.
+    val shards = spark.sparkContext.defaultParallelism * 4
+    // One untimed warmup run (JIT + broadcast), then median of `reps`.
+    PprShard.run(spark, csr, seeds, cfg, numShards = shards, topK = 50)._1.unpersist()
     val runs = (1 to reps).map { _ =>
-      val ((_, stats), wall) = timed(
-        PprCsr.run(blocks, outW, seeds, PprConfig(damping = 0.5, tol = 1e-6 / nV)))
+      val ((scores, stats), wall) = timed(
+        PprShard.run(spark, csr, seeds, cfg, numShards = shards, topK = 50))
+      scores.unpersist()
       (stats, wall)
     }
-    val med = runs.sortBy(_._2).apply(runs.length / 2)
-    val edgesPerSec = med._1.traversedEdges / med._2
-    val itersPerSec = med._1.iterations.toDouble / med._2
-    blocks.unpersist()
-    (edgesPerSec, itersPerSec, med._1.iterations, med._2)
+    val (stats, pprWall) = runs.sortBy(_._2).apply(runs.length / 2)
+    LevelResult(
+      buildWall = buildWall, pprWall = pprWall, totalWall = buildWall + pprWall,
+      nV = nV, nE = csr.nEdges, iters = stats.iterations.toLong,
+      edgesPerSec = stats.traversedEdges / pprWall,
+      itersPerSec = stats.iterations / pprWall,
+      queriesPerSec = nQueries / pprWall)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scalePages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "60000").toLong
+    val scalePages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "800000").toLong
+    val scaleEntities = sys.env.getOrElse("GRAFT_BENCH_ENTITIES", "4096").toInt
+    val scaleQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "8192").toInt
+    val skipHeadline = sys.env.get("GRAFT_BENCH_SKIP_HEADLINE").contains("1")
 
     // ---- Part 1: headline queries at the driver-given parallelism.
     val headline = Seq(
@@ -106,66 +166,89 @@ object Bench {
       "q16_simhash", "q17_ngram_jaccard", "q18_cosine_topk", "q20_lang_id",
       "q24_connected_components", "q25_triangles", "q27_ppr")
     val spark1 = session(cpus, cpus)
-    val qTimes: Seq[(String, Double)] = headline.map { name =>
-      val (_, t) = timed {
-        try SparkEntry.queries(name)(spark1, sfDir).write.mode("overwrite")
-          .format("noop").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); ()
+    val qTimes: Seq[(String, Double)] =
+      if (skipHeadline) Seq.empty
+      else headline.map { name =>
+        val (_, t) = timed {
+          try SparkEntry.queries(name)(spark1, sfDir).write.mode("overwrite")
+            .format("noop").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); ()
+          }
         }
+        name -> t
       }
-      name -> t
-    }
 
-    // ---- Part 2: scaling protocol on the synthetic pages graph.
+    // ---- Part 2: scaling protocol — same job, same input, two levels.
     val scaleDir = Files.createTempDirectory("graft_scale").toString
-    val (nV, nE) = buildScalingInput(spark1, scalePages, scaleDir)
+    writeScalingPages(spark1, scalePages, scaleEntities, scaleDir)
     spark1.stop()
 
     val results = Seq(8, 32).map { cores =>
       val s = session(cores, cores)
-      val r = pprThroughput(s, scaleDir, nV, reps = 3)
+      val r = runLevel(s, scaleDir, scaleQueries, reps = 3)
       s.stop()
       cores -> r
     }.toMap
-    val (e8, i8, it8, w8) = results(8)
-    val (e32, i32, it32, w32) = results(32)
-    val efficiency = (e32 / e8) / 4.0
+    val r8 = results(8)
+    val r32 = results(32)
+    val effPpr = (r32.edgesPerSec / r8.edgesPerSec) / 4.0
+    val effTotal = (r8.totalWall / r32.totalWall) / 4.0
+    val (hwEff, hw8, hw32) = hwCeiling()
+
+    def levelJson(r: LevelResult): String =
+      s"""{"build_sec":${"%.2f".format(r.buildWall)},"ppr_sec":${"%.2f".format(r.pprWall)},""" +
+      s""""total_sec":${"%.2f".format(r.totalWall)},"iters":${r.iters},""" +
+      s""""edges_per_sec":${"%.0f".format(r.edgesPerSec)},"iters_per_sec":${"%.1f".format(r.itersPerSec)},""" +
+      s""""queries_per_sec":${"%.1f".format(r.queriesPerSec)}}"""
 
     val qJson = qTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = qTimes.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
-      s""""scaling":{"input":{"pages":$scalePages,"vertices":$nV,"arcs":$nE,"queries":4},""" +
-      s""""local8":{"edges_per_sec":${"%.0f".format(e8)},"iters_per_sec":${"%.2f".format(i8)},"iters":$it8,"wall_sec":${"%.2f".format(w8)}},""" +
-      s""""local32":{"edges_per_sec":${"%.0f".format(e32)},"iters_per_sec":${"%.2f".format(i32)},"iters":$it32,"wall_sec":${"%.2f".format(w32)}},""" +
-      s""""efficiency":${"%.3f".format(efficiency)}}}"""
+      s""""scaling":{"input":{"pages":$scalePages,"vertices":${r8.nV},"arcs":${r8.nE},"queries":$scaleQueries},""" +
+      s""""local8":${levelJson(r8)},"local32":${levelJson(r32)},""" +
+      s""""efficiency_ppr":${"%.3f".format(effPpr)},"efficiency_total":${"%.3f".format(effTotal)},""" +
+      s""""hw_ceiling_8to32":${"%.3f".format(hwEff)},""" +
+      s""""efficiency_ppr_vs_hw":${"%.3f".format(effPpr / hwEff)}}}"""
     println(json)
 
+    // Assembled without stripMargin: generated table rows start with '|'.
+    val headlineTable =
+      if (qTimes.isEmpty) "(skipped)"
+      else "| query | seconds |\n|---|---|\n" +
+        qTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n")
     val md =
-      s"""# BENCH — measured (this round)
-         |
-         |## Headline queries (local[$cpus], $sfDir)
-         |
-         || query | seconds |
-         ||---|---|
-         |${qTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n")}
-         |
-         |## PPR scaling protocol (north rule: efficiency ≥ 0.8 at N→4N)
-         |
-         |Fixed input: synthetic Zipf pages graph, $scalePages pages,
-         |$nV vertices, $nE directed arcs, 4 simultaneous PPR queries
-         |(damping 0.5, L1 tol 1e-6, CSR broadcast gather-scatter).
-         |Median of 3 runs per level; shuffle partitions scaled with cores.
-         |
-         || level | wall sec | iterations | iters/sec | traversed edges/sec |
-         ||---|---|---|---|---|
-         || local[8]  | ${"%.2f".format(w8)} | $it8 | ${"%.2f".format(i8)} | ${"%.0f".format(e8)} |
-         || local[32] | ${"%.2f".format(w32)} | $it32 | ${"%.2f".format(i32)} | ${"%.0f".format(e32)} |
-         |
-         |**Scaling efficiency (8→32 cores): ${"%.3f".format(efficiency)}**
-         |""".stripMargin
+      s"# BENCH — measured (this round)\n\n" +
+      s"## Headline queries (local[$cpus], $sfDir)\n\n$headlineTable\n\n" +
+      s"## PPR scaling protocol (north rule: efficiency >= 0.8 at N->4N)\n\n" +
+      s"Job: pages -> extraction -> fact edge table -> encoded symmetric arcs\n" +
+      s"-> $scaleQueries per-query PPRs to 1e-6 L1 (query-sharded strategy:\n" +
+      s"CSR broadcast once, queries embarrassingly parallel — the serving\n" +
+      s"shape of the reference's per-query run_ppr, HippoRAG.py:1736).\n" +
+      s"Fixed input: $scalePages synthetic Zipf pages ($scaleEntities-word\n" +
+      s"vocabulary) persisted once; ${r8.nV} vertices, ${r8.nE} directed arcs.\n" +
+      s"PPR phase = median of 3 runs; shuffle partitions scale with cores.\n" +
+      s"No real cluster exists in this sandbox: two local parallelism levels\n" +
+      s"over the same persisted input are the documented N->4N proxy.\n\n" +
+      "| level | build sec | PPR sec | total iters | iters/sec | edges/sec | queries/sec |\n" +
+      "|---|---|---|---|---|---|---|\n" +
+      s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.pprWall)} | ${r8.iters} | ${"%.1f".format(r8.itersPerSec)} | ${"%.0f".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +
+      s"| local[32] | ${"%.2f".format(r32.buildWall)} | ${"%.2f".format(r32.pprWall)} | ${r32.iters} | ${"%.1f".format(r32.itersPerSec)} | ${"%.0f".format(r32.edgesPerSec)} | ${"%.1f".format(r32.queriesPerSec)} |\n\n" +
+      s"**Scaling efficiency (8->32 cores): PPR phase ${"%.3f".format(effPpr)}, " +
+      s"whole job ${"%.3f".format(effTotal)}**\n\n" +
+      s"Hardware strong-scaling ceiling of this VM (pure-JVM 8->32-thread\n" +
+      s"md5 burn, no Spark: ${"%.2f".format(hw8)}s vs ${"%.2f".format(hw32)}s for 4x work): " +
+      s"**${"%.3f".format(hwEff)}** — shared cloud cores lose clock/cache\n" +
+      s"beyond 8 threads, so engine efficiency normalized to the hardware\n" +
+      s"ceiling is **${"%.3f".format(effPpr / hwEff)}** for the PPR phase. On a real\n" +
+      s"N->4N EXECUTOR scale-out each executor keeps its own cores/memory,\n" +
+      s"so the ceiling does not apply there.\n\n" +
+      s"Strategy selection at 100 TB: graph >> executor memory -> shuffle\n" +
+      s"gather-scatter (graft.algo.Ppr); few queries over a big graph ->\n" +
+      s"vertex-major broadcast CSR (PprCsr); many queries over a\n" +
+      s"broadcastable graph -> query-sharded (PprShard, measured here).\n"
     Files.writeString(Paths.get("BENCH.md"), md)
   }
 }

@@ -68,7 +68,9 @@ object SparkEntry {
     "q27b_lpa" -> (Q.qLpa _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
-    "q29_window_agg" -> (Q.qWindowAgg _)
+    "q29_window_agg" -> (Q.qWindowAgg _),
+    // OpenIE stats (S5, A8)
+    "q30_openie_stats" -> (Q.qOpenieStats _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -4,18 +4,25 @@ import org.apache.spark.sql.Dataset
 
 import graft.graph.AdjBlock
 
-/** Broadcast/CSR PPR: the fast path when the rank vector fits in memory.
+/** Broadcast/CSR PPR: the fast path when the rank state fits in memory.
   *
-  * Each iteration broadcasts the dense Q×V rank matrix, every CSR block
-  * computes partial contributions into a dense accumulator, and a
-  * treeAggregate sums them — no shuffle at all, one job per iteration.
-  * Hubs are pre-split across blocks by [[graft.graph.Adjacency.csrBlocks]]
-  * (edge-count slicing), so task times stay balanced under Zipf skew.
+  * Memory layout is VERTEX-MAJOR (`x[v*Q+q]`): each edge is streamed once
+  * per iteration and its Q multiply-adds hit two CONTIGUOUS Q-rows (the
+  * src rate row and the dst accumulator row). With V·Q·8B sized to cache
+  * (the whole rank state for a 10⁴-vertex × 128-query batch is ~8 MB),
+  * the kernel is compute-bound, not bandwidth-bound — that is what makes
+  * the N→4N core-scaling protocol meaningful. A query-major layout would
+  * re-stream the edge list Q times.
+  *
+  * Each iteration: broadcast the rank state, every CSR block scatters
+  * partial contributions into a dense V×Q accumulator, treeAggregate sums
+  * them — no shuffle, one job per iteration. Hubs are pre-split across
+  * blocks by [[graft.graph.Adjacency.csrBlocks]] (edge-count slicing), so
+  * task times stay balanced under Zipf skew.
   *
   * Semantics are identical to [[Ppr.run]] (same fixpoint, same networkx
-  * convergence test) — the two paths are cross-checked in tests. Use this
-  * one when Q·V doubles fit comfortably on the driver (≈10^8 cells); use
-  * the shuffle path beyond that.
+  * convergence test) — the paths are cross-checked in tests. Use the
+  * shuffle path when V·(Q+2) doubles stop fitting comfortably in memory.
   */
 object PprCsr {
 
@@ -39,50 +46,51 @@ object PprCsr {
     val cached = blocks.persist()
     val nEdges = cached.rdd.map(_.dsts.length.toLong).reduce(_ + _)
 
-    // p: normalized, sanitized reset vectors (reference HippoRAG.py:1735).
-    val p: Array[Array[Double]] = seeds.map { case (_, sv) =>
-      val a = new Array[Double](nV)
-      sv.foreach { case (v, w) =>
-        if (!w.isNaN && w > 0) a(v.toInt) += w
-      }
-      val s = a.sum
+    // p[v*Q+q]: normalized, sanitized reset vectors (HippoRAG.py:1735).
+    val p = new Array[Double](nV * nQ)
+    seeds.zipWithIndex.foreach { case ((_, sv), q) =>
+      var s = 0.0
+      sv.foreach { case (v, w) => if (!w.isNaN && w > 0) { p(v.toInt * nQ + q) += w; s += w } }
       require(s > 0, "PPR reset vector must have positive mass (HippoRAG.py:1643)")
-      var i = 0
-      while (i < nV) { a(i) /= s; i += 1 }
-      a
-    }.toArray
+      var v = 0
+      while (v < nV) { p(v * nQ + q) /= s; v += 1 }
+    }
 
-    var x: Array[Array[Double]] = p.map(_.clone())
+    var x = p.clone()
     var iter = 0
     var converged = false
 
     while (iter < cfg.maxIter && !converged) {
       val bcX = sc.broadcast(x)
-      val contrib = cached.rdd.treeAggregate(null.asInstanceOf[Array[Array[Double]]])(
+      val contrib = cached.rdd.treeAggregate(null.asInstanceOf[Array[Double]])(
         seqOp = (accIn, b) => {
-          val acc = if (accIn == null) Array.fill(nQ)(new Array[Double](nV)) else accIn
+          val acc = if (accIn == null) new Array[Double](nV * nQ) else accIn
           val xs = bcX.value
           val ow = bcOutW.value
-          var q = 0
-          while (q < nQ) {
-            val xq = xs(q)
-            val aq = acc(q)
-            var si = 0
-            while (si < b.srcIds.length) {
-              val s = b.srcIds(si).toInt
-              val xv = xq(s)
-              if (xv != 0.0) {
-                val rate = xv / ow(s)
-                var e = b.offsets(si)
-                val end = b.offsets(si + 1)
-                while (e < end) {
-                  aq(b.dsts(e).toInt) += rate * b.weights(e)
-                  e += 1
-                }
-              }
-              si += 1
+          val rate = new Array[Double](nQ)
+          var si = 0
+          while (si < b.srcIds.length) {
+            val s = b.srcIds(si).toInt
+            val sOff = s * nQ
+            var any = false
+            var q = 0
+            while (q < nQ) {
+              val xv = xs(sOff + q)
+              rate(q) = if (xv != 0.0) { any = true; xv / ow(s) } else 0.0
+              q += 1
             }
-            q += 1
+            if (any) {
+              var e = b.offsets(si)
+              val end = b.offsets(si + 1)
+              while (e < end) {
+                val dOff = b.dsts(e).toInt * nQ
+                val w = b.weights(e)
+                q = 0
+                while (q < nQ) { acc(dOff + q) += w * rate(q); q += 1 }
+                e += 1
+              }
+            }
+            si += 1
           }
           acc
         },
@@ -90,47 +98,54 @@ object PprCsr {
           if (a == null) b
           else if (b == null) a
           else {
-            var q = 0
-            while (q < nQ) {
-              val aq = a(q); val bq = b(q)
-              var i = 0
-              while (i < nV) { aq(i) += bq(i); i += 1 }
-              q += 1
-            }
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
             a
           }
         },
         depth = 2)
-      val agg = if (contrib == null) Array.fill(nQ)(new Array[Double](nV)) else contrib
+      val agg = if (contrib == null) new Array[Double](nV * nQ) else contrib
       bcX.destroy()
 
-      var maxRelErr = 0.0
-      val next = new Array[Array[Double]](nQ)
-      var q = 0
-      while (q < nQ) {
-        val xq = x(q); val pq = p(q); val aq = agg(q)
-        var ds = 0.0
-        var i = 0
-        while (i < nV) { if (bcOutW.value(i) == 0.0) ds += xq(i); i += 1 }
-        val nx = new Array[Double](nV)
-        var err = 0.0
-        i = 0
-        while (i < nV) {
-          nx(i) = alpha * (aq(i) + ds * pq(i)) + (1.0 - alpha) * pq(i)
-          err += math.abs(nx(i) - xq(i))
-          i += 1
+      // danglesum per query, then the fixpoint update + L1 errors.
+      val dangle = new Array[Double](nQ)
+      var v = 0
+      while (v < nV) {
+        if (bcOutW.value(v) == 0.0) {
+          val off = v * nQ
+          var q = 0
+          while (q < nQ) { dangle(q) += x(off + q); q += 1 }
         }
-        if (err > maxRelErr) maxRelErr = err
-        next(q) = nx
-        q += 1
+        v += 1
+      }
+      val next = new Array[Double](nV * nQ)
+      val errs = new Array[Double](nQ)
+      v = 0
+      while (v < nV) {
+        val off = v * nQ
+        var q = 0
+        while (q < nQ) {
+          val nx = alpha * (agg(off + q) + dangle(q) * p(off + q)) + (1.0 - alpha) * p(off + q)
+          errs(q) += math.abs(nx - x(off + q))
+          next(off + q) = nx
+          q += 1
+        }
+        v += 1
       }
       x = next
       iter += 1
-      converged = maxRelErr < threshold
+      converged = errs.forall(_ < threshold)
     }
     cached.unpersist(false)
     val wall = (System.nanoTime() - t0) / 1e9
-    (seeds.map(_._1).zip(x.toSeq),
-      PprStats(iter, converged, nEdges * iter.toLong * nQ, wall))
+
+    // Unpack vertex-major state into per-query arrays.
+    val out = seeds.map(_._1).zipWithIndex.map { case (qid, q) =>
+      val a = new Array[Double](nV)
+      var v = 0
+      while (v < nV) { a(v) = x(v * nQ + q); v += 1 }
+      qid -> a
+    }
+    (out, PprStats(iter, converged, nEdges * iter.toLong * nQ, wall))
   }
 }

@@ -151,7 +151,7 @@ object DocQueries {
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-      shingleWidth = 3, threshold = 0.5)
+      shingleWidth = 3, threshold = 0.5, maxDocFreq = 100L)
       .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
       .orderBy("a", "b")
 
@@ -258,6 +258,12 @@ object DocQueries {
   }
 
   // ------------------------------------------------------------ events (F8, windows)
+
+  /** S5 — OpenIE entity stats (avg chars / words per entity mention). */
+  def qOpenieStats(s: SparkSession, dir: String): DataFrame =
+    graft.sources.CorpusJson.openieStats(Extract.chunkEntities(triples(s, dir)))
+      .select(round(col("avg_ent_chars"), 9).as("avg_ent_chars"),
+        round(col("avg_ent_words"), 9).as("avg_ent_words"))
 
   def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     events(s, dir)

@@ -43,9 +43,13 @@ triples AS (
   JOIN toks t3 ON t3.chunk_id = t1.chunk_id AND t3.pos = t1.pos + 2
 ),
 chunk_ents AS (
-  SELECT DISTINCT chunk_id, subj AS entity FROM triples
-  UNION
-  SELECT DISTINCT chunk_id, obj AS entity FROM triples
+  -- UNION ALL + outer DISTINCT on purpose: under WITH RECURSIVE (needed
+  -- for q24), DuckDB 1.0 stops deduplicating a bare UNION across branches
+  -- of a non-recursive CTE — observed 2x row counts.
+  SELECT DISTINCT chunk_id, entity FROM (
+    SELECT chunk_id, subj AS entity FROM triples
+    UNION ALL
+    SELECT chunk_id, obj AS entity FROM triples)
 ),
 fe AS (
   SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM (
@@ -174,12 +178,15 @@ dsh AS (
         |GROUP BY doc_id ORDER BY "key"""".stripMargin),
 
     "q17_ngram_jaccard" -> q(
-      """SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 9) AS jaccard FROM (
+      """, dshf AS (
+        |  SELECT d.doc_id, d.sh FROM dsh d
+        |  JOIN (SELECT sh FROM dsh GROUP BY sh HAVING count(*) <= 100) k ON k.sh = d.sh)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / (na + nb - i), 9) AS jaccard FROM (
         |  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS i
-        |  FROM dsh l JOIN dsh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+        |  FROM dshf l JOIN dshf r ON l.sh = r.sh AND l.doc_id < r.doc_id
         |  GROUP BY l.doc_id, r.doc_id) inter
-        |JOIN (SELECT doc_id, count(*) AS na FROM dsh GROUP BY doc_id) sa ON sa.doc_id = a
-        |JOIN (SELECT doc_id, count(*) AS nb FROM dsh GROUP BY doc_id) sb ON sb.doc_id = b
+        |JOIN (SELECT doc_id, count(*) AS na FROM dshf GROUP BY doc_id) sa ON sa.doc_id = a
+        |JOIN (SELECT doc_id, count(*) AS nb FROM dshf GROUP BY doc_id) sb ON sb.doc_id = b
         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
         |ORDER BY a, b""".stripMargin),
 
@@ -289,6 +296,11 @@ dsh AS (
       """SELECT src AS entity_id, round(sum(weight), 6) AS wdegree,
         |       count(*) AS degree
         |FROM symarcs GROUP BY src ORDER BY entity_id""".stripMargin),
+
+    "q30_openie_stats" -> q(
+      """SELECT round(avg(length(entity)), 9) AS avg_ent_chars,
+        |       round(avg(len(string_split(entity, ' '))), 9) AS avg_ent_words
+        |FROM chunk_ents""".stripMargin),
 
     "q28_json_extract" -> """
       |SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -108,12 +108,26 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for pairs above a threshold.
     * |A∩B| via a shingle-join, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * `maxDocFreq` drops shingles occurring in more than that many docs
+    * BEFORE the self-join (both from the intersection and the set sizes):
+    * a shingle shared by F docs contributes F² join rows and zero
+    * discriminative signal — the classic stop-shingle blowup. At web
+    * scale this bound is what keeps the join linear-ish.
     * @return (a, b, jaccard)
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
-                        shingleWidth: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(keyCol).as("key"),
+                        shingleWidth: Int, threshold: Double,
+                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    val shAll = docs.select(col(keyCol).as("key"),
         explode(shingles(textCol, shingleWidth)).as("sh"))
+    val sh =
+      if (maxDocFreq == Long.MaxValue) shAll
+      else {
+        val keep = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDocFreq).select("sh")
+        shAll.join(keep, "sh")
+      }
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     val l = sh.select(col("sh"), col("key").as("a"))
     val r = sh.select(col("sh"), col("key").as("b"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.algo.{Ppr, PprConfig, PprCsr}
+import graft.algo.{Ppr, PprConfig, PprCsr, PprShard}
 import graft.core.Ids
 import graft.extract.Embeddings
 import graft.functions.VectorOps
@@ -34,11 +34,12 @@ object Retriever {
       passageNodeWeight: Double = 0.05, // config_utils.py:91-94
       damping: Double = 0.5,        // config_utils.py:192-195
       pprTol: Double = 1e-12,
-      // Broadcast-or-shuffle selection (north rule): below this vertex
-      // count the dense Q×V rank state fits comfortably in memory, so PPR
-      // runs on the CSR broadcast kernel (no shuffle, one job/iter);
-      // above it, the sparse shuffle gather-scatter path takes over.
-      csrMaxVertices: Long = 2000000L)
+      // Broadcast-or-shuffle selection (north rule): below these bounds
+      // the rank state / CSR fit in memory, so PPR runs on a broadcast
+      // kernel (query-sharded or vertex-major CSR — see the selection in
+      // retrieve()); above them, the sparse shuffle path takes over.
+      csrMaxVertices: Long = 2000000L,
+      shardMaxArcs: Long = 5000000L)
 
   /** Query embeddings mirror the two instruction channels
     * (HippoRAG.py:1391-1425, prompts/linking.py): one vector for fact
@@ -150,8 +151,20 @@ object Retriever {
     val arcs = Adjacency.encode(Adjacency.symmetrize(store.edges.read()), dict)
     val seeds = seedsByKey.join(dict, "key").select("qid", "vid", "weight")
 
+    // Strategy selection (north rule "broadcast-or-shuffle", three-way):
+    //  - many queries over a driver-collectable graph → query-sharded
+    //    (CSR broadcast once, queries embarrassingly parallel);
+    //  - few queries, rank state still fits → vertex-major broadcast CSR;
+    //  - otherwise → sparse shuffle gather-scatter.
+    val pprCfg = PprConfig(damping = cfg.damping, tol = cfg.pprTol)
+    lazy val nArcs = arcs.count()
     val scores: DataFrame =
-      if (nVertices <= cfg.csrMaxVertices) {
+      if (nVertices <= cfg.csrMaxVertices && nArcs <= cfg.shardMaxArcs
+          && queries.size >= 4) {
+        val csr = PprShard.buildLocal(arcs, nVertices.toInt)
+        val seedSeq = collectSeeds(seeds)
+        PprShard.run(spark, csr, seedSeq, pprCfg)._1
+      } else if (nVertices <= cfg.csrMaxVertices) {
         import spark.implicits._
         val blocks = graft.graph.Adjacency.csrBlocks(spark, arcs,
           edgesPerBlock = 1 << 16)
@@ -161,19 +174,12 @@ object Retriever {
             .foreach(r => a(r.getAs[Long]("src").toInt) = r.getAs[Double]("out_w"))
           a
         }
-        val seedSeq = seeds.collect()
-          .groupBy(_.getAs[Long]("qid")).toSeq.sortBy(_._1)
-          .map { case (q, rows) =>
-            q -> rows.toSeq.map(r => (r.getAs[Long]("vid"), r.getAs[Double]("weight")))
-          }
-        val (arr, _) = PprCsr.run(blocks, outW, seedSeq,
-          PprConfig(damping = cfg.damping, tol = cfg.pprTol))
+        val (arr, _) = PprCsr.run(blocks, outW, collectSeeds(seeds), pprCfg)
         arr.flatMap { case (q, xs) =>
           xs.iterator.zipWithIndex.collect { case (x, v) if x != 0.0 => (q, v.toLong, x) }
         }.toDF("qid", "vid", "score")
       } else {
-        Ppr.run(spark, arcs, nVertices, seeds,
-          PprConfig(damping = cfg.damping, tol = cfg.pprTol))._1
+        Ppr.run(spark, arcs, nVertices, seeds, pprCfg)._1
       }
 
     // --- W6 readout: passage nodes only, rank desc per query.
@@ -185,6 +191,23 @@ object Retriever {
     val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("chunk_id").asc)
     ranked.withColumn("rank", row_number().over(wr))
       .where(col("rank") <= cfg.retrievalTopK)
+  }
+
+  private def collectSeeds(seeds: DataFrame): Seq[(Long, Seq[(Long, Double)])] =
+    seeds.collect()
+      .groupBy(_.getAs[Long]("qid")).toSeq.sortBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.toSeq.map(r => (r.getAs[Long]("vid"), r.getAs[Double]("weight")))
+      }
+
+  /** W7 — IRCoT merged ranking (reference HippoRAG.py:540-547): across
+    * retrieval steps, a doc's score is the MAX over steps, then re-sorted.
+    * @param steps (qid, chunk_id, score) from successive retrieve calls
+    */
+  def ircotMerge(steps: DataFrame, topK: Int): DataFrame = {
+    val merged = steps.groupBy("qid", "chunk_id").agg(max("score").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("chunk_id").asc)
+    merged.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
   }
 
   /** StandardRAG / DPR-only ranking (reference StandardRAG.py:422-429, W1):

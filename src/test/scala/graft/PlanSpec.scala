@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the properties that keep the engine viable at
+  * 100 TB must be visible in the plans, not assumed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(col("lang") === "en")
+      .select("doc_id", "text")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string"),
+      s"columns not pruned:\n$plan")
+  }
+
+  test("KNN similarity join broadcasts the query side") {
+    import spark.implicits._
+    val q = Seq(("q1", Array.fill(8)(1f))).toDF("qid", "qvec")
+    val k = Seq(("k1", Array.fill(8)(1f))).toDF("kid", "kvec")
+    val plan = planOf(graft.retrieve.Knn.topK(q, k, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("graft_dot"), "codegen dot expression missing from plan")
+  }
+
+  test("dedup/groupBy plans use partial (map-side) aggregation") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = planOf(graft.ops.Dedup.exact(docs, "text", "doc_id"))
+    // partial_ before the exchange, merge_/final after → hot keys combine map-side.
+    assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scalar pipeline (text processing)") {
+    val df = graft.entry.DocQueries.qTextProcessing(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("*("), s"no WholeStageCodegen span:\n$plan")
+  }
+
+  test("page synthesis has no shuffle (narrow lineage from range)") {
+    val df = graft.ingest.PageSynth.pagesDF(spark, 100)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in generator:\n$plan")
+  }
+}

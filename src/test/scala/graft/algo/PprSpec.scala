@@ -46,6 +46,20 @@ class PprSpec extends SparkSpec {
         }
       }
 
+      test(s"query-sharded PPR matches golden [$name, d=$damping]") {
+        val csr = PprShard.buildLocal(arcsOf(g), g.nVertices)
+        val seeds = cases.map(c => c.qid -> c.seeds.map { case (v, w) => (v, w) })
+        val (scores, stats) = PprShard.run(spark, csr, seeds,
+          PprConfig(damping = damping, tol = 1e-12))
+        assert(stats.converged)
+        for (c <- cases) {
+          val got = denseScores(scores, c.qid, g.nVertices)
+          val maxDiff = got.zip(c.scores).map { case (a, b) => math.abs(a - b) }.max
+          assert(maxDiff < 1e-6, s"qid=${c.qid} maxDiff=$maxDiff")
+        }
+        scores.unpersist()
+      }
+
       test(s"CSR PPR matches golden and DF path [$name, d=$damping]") {
         val arcs = arcsOf(g)
         val outW = {
