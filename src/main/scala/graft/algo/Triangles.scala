@@ -25,6 +25,7 @@ object Triangles {
         greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+      .persist() // feeds degrees, orientation, and the closing probe
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
 

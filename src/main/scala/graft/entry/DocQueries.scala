@@ -205,7 +205,9 @@ object DocQueries {
 
   /** Entity co-occurrence graph (fact edges only), string-keyed. */
   private def entityArcs(s: SparkSession, dir: String): DataFrame =
-    Adjacency.symmetrize(GraphBuild.factEdges(triples(s, dir)))
+    // Persisted: the iterative consumers (CC/LPA) run one action per
+    // round and would re-extract the corpus every iteration otherwise.
+    Adjacency.symmetrize(GraphBuild.factEdges(triples(s, dir))).persist()
 
   private def entityVertices(s: SparkSession, dir: String): DataFrame =
     Extract.entities(Extract.chunkEntities(triples(s, dir)))
@@ -245,7 +247,19 @@ object DocQueries {
       .orderBy(col("df").desc, col("entity").asc).limit(1)
       .select(Ids.mdhash(Ids.EntityNs, col("entity")).as("key"))
     val seeds = topEntity.join(dict, "key").select(lit(0L).as("qid"), col("vid"), lit(1.0).as("weight"))
-    val (scores, _) = Ppr.run(s, arcs, dict.count(), seeds, PprConfig(tol = 1e-10))
+    // Same broadcast-or-shuffle selection the Retriever makes: this graph
+    // is dictionary-encoded and small, so the CSR broadcast kernel runs it
+    // in seconds; the shuffle path stays covered by PprSpec goldens and
+    // kicks in automatically past csrMaxVertices.
+    val nV = dict.count()
+    val scores =
+      if (nV <= 2000000L) {
+        import s.implicits._
+        val csr = graft.algo.PprShard.buildLocal(arcs, nV.toInt)
+        val seedSeq = seeds.collect().map(r =>
+          r.getAs[Long]("qid") -> Seq((r.getAs[Long]("vid"), r.getAs[Double]("weight")))).toSeq
+        graft.algo.PprShard.run(s, csr, seedSeq, PprConfig(tol = 1e-10))._1
+      } else Ppr.run(s, arcs, nV, seeds, PprConfig(tol = 1e-10))._1
     scores.join(dict, "vid")
       .select(col("key"), round(col("score"), 9).as("score"))
       .orderBy(col("score").desc, col("key").asc)

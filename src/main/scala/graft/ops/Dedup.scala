@@ -47,6 +47,7 @@ object Dedup {
                         numHashes: Int, shingleWidth: Int): DataFrame = {
     val sh = docs.select(col(keyCol).as("key"),
         explode(shingles(textCol, shingleWidth)).as("sh"))
+      .persist() // feeds numHashes hash branches
     val hashed = sh.select(col("key"),
         explode(array((0 until numHashes).map(i =>
           struct(lit(i).as("i"), md5(concat(lit(s"$i:"), col("sh"))).as("h"))): _*)).as("ih"))
@@ -62,12 +63,15 @@ object Dedup {
     * @return (a, b, shared_bands)
     */
   def minHashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col("key"),
+    // Persisted: the band table sits on BOTH sides of the bucket self-join;
+    // without the cache the signature pipeline (16 md5 passes) runs twice.
+    val banded0 = sigs.select(col("key"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|", (0 until rowsPerBand).map(r =>
               element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("bh"))): _*)).as("bb"))
       .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val banded = banded0.persist()
     val l = banded.select(col("band"), col("bh"), col("key").as("a"))
     val r = banded.select(col("band"), col("bh"), col("key").as("b"))
     l.join(r, Seq("band", "bh"))
@@ -121,13 +125,17 @@ object Dedup {
                         maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val shAll = docs.select(col(keyCol).as("key"),
         explode(shingles(textCol, shingleWidth)).as("sh"))
-    val sh =
+    val shUncached =
       if (maxDocFreq == Long.MaxValue) shAll
       else {
         val keep = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
           .where(col("df") <= maxDocFreq).select("sh")
         shAll.join(keep, "sh")
       }
+    // The shingle table feeds the sizes aggregate and BOTH sides of the
+    // self-join; without the cache the tokenize+shingle+filter chain runs
+    // 4x (cross-action exchange reuse does not apply here).
+    val sh = shUncached.persist()
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     val l = sh.select(col("sh"), col("key").as("a"))
     val r = sh.select(col("sh"), col("key").as("b"))

@@ -41,9 +41,17 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the scalar pipeline (text processing)") {
-    val df = graft.entry.DocQueries.qTextProcessing(spark, sfDir)
-    val plan = planOf(df)
-    assert(plan.contains("*("), s"no WholeStageCodegen span:\n$plan")
+    // Under AQE the codegen explain sees only the unresolved adaptive root
+    // and reports 0 subtrees — disable it for the static-plan assertion
+    // (runtime plans DO codegen; this pins the property without AQE).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.entry.DocQueries.qTextProcessing(spark, sfDir)
+      val codegen = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("WholeStageCodegen subtrees"), codegen.take(500))
+      assert(!codegen.startsWith("Found 0 WholeStageCodegen"), codegen.take(500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("page synthesis has no shuffle (narrow lineage from range)") {
