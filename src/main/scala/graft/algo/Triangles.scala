@@ -26,6 +26,7 @@ object Triangles {
       .where(col("a") =!= col("b"))
       .distinct()
       .persist() // feeds degrees, orientation, and the closing probe
+    und.count() // eager: avoid branch-stage recompute races within one action
     val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
 

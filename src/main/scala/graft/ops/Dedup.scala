@@ -69,6 +69,7 @@ object Dedup {
               element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("bh"))): _*)).as("bb"))
       .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val banded = banded0.persist()
+    banded.count() // eager: both join sides hit the cache, never the DAG
     val l = banded.select(col("band"), col("bh"), col("key").as("a"))
     val r = banded.select(col("band"), col("bh"), col("key").as("b"))
     l.join(r, Seq("band", "bh"))
@@ -130,9 +131,10 @@ object Dedup {
         shAll.join(keep, "sh")
       }
     // The shingle table feeds the sizes aggregate and BOTH sides of the
-    // self-join; without the cache the tokenize+shingle+filter chain runs
-    // 4x (cross-action exchange reuse does not apply here).
+    // self-join. Materialized EAGERLY: a lazy cache inside one action lets
+    // the parallel branch stages race and recompute the chain 4x.
     val sh = shUncached.persist()
+    sh.count()
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     val l = sh.select(col("sh"), col("key").as("a"))
     val r = sh.select(col("sh"), col("key").as("b"))
