@@ -6,20 +6,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algo.{PprConfig, PprShard}
+import graft.bench.{FmaProbe, StreamProbe}
 import graft.graph.Adjacency
 
 /** Round benchmark. Two parts:
   *
   * 1. Headline queries on SPARK_GRAFT_SF_DIR (graph build, dedup, KNN,
-  *    CC/triangles, shuffle-path PPR) — wall-clock each, one JSON line.
-  * 2. The north-rule scaling protocol (BASELINE.md): the SAME PPR job on
-  *    the SAME synthetic Zipf-skewed pages graph at local[8] and local[32]
-  *    (shuffle partitions scaled 4×) — throughput in traversed edges/sec
-  *    and iterations/sec at both levels, efficiency = (thr32/thr8)/4.
-  *    No real cluster exists in this sandbox; two parallelism levels on
-  *    fixed input are the documented proxy (task brief).
+  *    CC/triangles, PPR) — wall-clock each.
   *
-  * Results also land in BENCH.md.
+  * 2. The north-rule scaling protocol (BASELINE.md): the SAME jobs on the
+  *    SAME persisted inputs at local[8] and local[32] (shuffle partitions
+  *    scaled 4×). Two phases per level:
+  *      - build: Common-Crawl-shaped pages (input_hint) → extraction →
+  *        fact edges → dictionary → encoded arcs → CSR;
+  *      - PPR sweep: Q per-query PPRs to 1e-6 L1 over a ≥10⁷-arc Zipf
+  *        edge table (query-sharded batched kernel, the serving shape of
+  *        the reference's per-query run_ppr, HippoRAG.py:1736).
+  *    Efficiency = (throughput@32 / throughput@8) / 4, reported raw AND
+  *    normalized against hardware ceilings measured in the same run
+  *    (md5 = integer ALU, FMA = L1-resident floating point, stream =
+  *    DRAM roof). No real cluster exists in this sandbox; two parallelism
+  *    levels over fixed input are the documented N→4N proxy.
+  *
+  * Results: ONE JSON line on stdout, ALSO written to BENCH.json at the
+  * repo root (sbt prefixes stdout, which broke the round-1 parse), and a
+  * human-readable BENCH.md.
   */
 object Bench {
 
@@ -29,12 +40,13 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Hardware strong-scaling ceiling: pure-JVM hash burn on N threads,
-    * no Spark. On shared cloud cores, 4× threads rarely buys 4× clock
-    * cycles (turbo/cache/hypervisor) — the engine's measured efficiency
-    * must be read against this ceiling, so measure it in the same run.
-    */
-  private def hwCeiling(): (Double, Double, Double) = {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+
+  /** Integer-ALU strong-scaling ceiling: pure-JVM md5 burn, no Spark. */
+  private def md5Ceiling(): (Double, Double, Double) = {
     def burn(threads: Int, perThread: Int): Double = {
       val (_, t) = timed {
         val ts = (0 until threads).map { i =>
@@ -55,7 +67,6 @@ object Bench {
     burn(4, per / 4) // warmup
     val t8 = burn(8, per)   // total work 8·per
     val t32 = burn(32, per) // total work 32·per (4×)
-    // eff = (thr32/thr8)/4 = ((32/t32)/(8/t8))/4 = t8/t32
     (t8 / t32, t8, t32)
   }
 
@@ -67,43 +78,65 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
-      // The scaling kernel broadcasts a dense double[] rank state each
-      // iteration — compression burns serial CPU for ~no size win.
+      // The scaling kernel broadcasts a few-hundred-MB CSR once per level —
+      // compression burns serial CPU for ~no size win.
       .config("spark.broadcast.compress", "false")
-      // The pages table is ~30 small files; the default 128 MB bin-packing
-      // would coalesce the scan to ~3 partitions and serialize the whole
-      // narrow extraction chain. Size scan partitions to the core count.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.files.openCostInBytes", "1m")
+      // The synthetic inputs are many small parquet files; default 128 MB
+      // bin-packing would coalesce the scan to a handful of partitions and
+      // starve the wide levels (round-1's build phase anti-scaled exactly
+      // this way). Size scan bins well under (bytes / cores).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
   /** Persist the synthetic pages table once so both parallelism levels
-    * run the SAME job over IDENTICAL input files.
+    * run the SAME job over IDENTICAL input files (192 small files so the
+    * scan parallelizes at every level).
     */
   private def writeScalingPages(spark: SparkSession, nPages: Long, nEntities: Int,
                                 dir: String): Unit =
     graft.ingest.PageSynth.pagesDF(spark, nPages, nEntities = nEntities)
+      .repartition(192)
       .write.mode("overwrite").parquet(s"$dir/pages")
 
+  /** Persist a string-keyed Zipf-skewed edge table (the north-rule "edge
+    * table" input) sized ≥10⁷ arcs: src/dst sampled with density ∝
+    * 1/√rank via deterministic per-row hashes, multi-edges aggregated to
+    * count weights — the same shape the page pipeline produces, scaled.
+    */
+  private def writeScalingArcs(spark: SparkSession, nV: Int, nSamples: Long,
+                               dir: String): Long = {
+    val u1 = pmod(xxhash64(col("id"), lit(1)), lit(1000000000L)).cast("double") / 1e9
+    val u2 = pmod(xxhash64(col("id"), lit(2)), lit(1000000000L)).cast("double") / 1e9
+    spark.range(0L, nSamples, 1L, 192)
+      .select(floor(u1 * u1 * nV).cast("long").as("s"),
+              floor(u2 * u2 * nV).cast("long").as("d"))
+      .where(col("s") =!= col("d"))
+      .groupBy("s", "d").agg(count(lit(1)).cast("double").as("weight"))
+      .select(concat(lit("e"), col("s")).as("src"),
+              concat(lit("e"), col("d")).as("dst"), col("weight"))
+      .write.mode("overwrite").parquet(s"$dir/arcs")
+    spark.read.parquet(s"$dir/arcs").count()
+  }
+
   case class LevelResult(
-      buildWall: Double, pprWall: Double, totalWall: Double,
+      buildWall: Double, graphWall: Double, pprWall: Double, pprWalls: Seq[Double],
       nV: Long, nE: Long, iters: Long,
       edgesPerSec: Double, itersPerSec: Double, queriesPerSec: Double)
 
-  /** One scaling-level measurement: the full link-graph job — pages →
-    * extraction → fact edge table → encoded symmetric arcs → Q per-query
-    * PPRs to 1e-6 (query-sharded strategy: CSR broadcast once, queries
-    * embarrassingly parallel — the serving shape of the reference's
-    * per-query `run_ppr`). Median of `reps` for the PPR phase; build
-    * phase measured once per level (deterministic, IO-bound tail).
+  /** One scaling-level measurement (see object doc). PPR phase = median
+    * of `reps`; build measured once per level (deterministic, IO-bound
+    * tail).
     */
   private def runLevel(spark: SparkSession, dir: String, nQueries: Int,
-                       reps: Int): LevelResult = {
+                       reps: Int, batchSize: Int): LevelResult = {
     import graft.extract.Extract
     import graft.graph.GraphBuild
+
+    // ---- phase A: end-to-end build from the input_hint pages shape.
     val tb0 = System.nanoTime()
     def lap(label: String, since: Long): Long = {
       val now = System.nanoTime()
@@ -119,33 +152,53 @@ object Bench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     edges.count()
     val t1 = lap("extract+edges", tb0)
-    val dict = graft.core.Ids.dictionary(
+    val dictA = graft.core.Ids.dictionary(
       edges.select(col("src").as("key"))
         .unionAll(edges.select(col("dst").as("key"))), "key")
-    val nV = dict.count()
+    val nVa = dictA.count()
     val t2 = lap("dictionary", t1)
-    val arcs = Adjacency.encode(Adjacency.symmetrize(edges), dict)
-    val csr = PprShard.buildLocal(arcs, nV.toInt)
-    lap("encode+collect", t2)
+    val arcsA = Adjacency.encode(Adjacency.symmetrize(edges), dictA)
+    val csrA = PprShard.buildLocal(arcsA, nVa.toInt)
+    lap(s"encode+collect (pages graph: ${nVa} v, ${csrA.nEdges} arcs)", t2)
     edges.unpersist(false)
     val buildWall = (System.nanoTime() - tb0) / 1e9
 
+    // ---- phase B: dictionary + encode + CSR over the big arc table.
+    val tg0 = System.nanoTime()
+    val raw = spark.read.parquet(s"$dir/arcs")
+    val sym = Adjacency.symmetrize(raw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dict = graft.core.Ids.dictionary(
+      sym.select(col("src").as("key"))
+        .unionAll(sym.select(col("dst").as("key"))), "key")
+    val nV = dict.count()
+    val arcs = Adjacency.encode(sym, dict)
+    val csr = PprShard.buildLocal(arcs, nV.toInt)
+    sym.unpersist(false)
+    val graphWall = (System.nanoTime() - tg0) / 1e9
+    lap(s"scaling graph: ${nV} v, ${csr.nEdges} arcs", tg0)
+
+    // ---- phase C: the PPR sweep (query-sharded batched kernel).
     val seeds = (0L until nQueries.toLong).map(q => q -> Seq(((q * 31 + 1) % nV, 1.0)))
     val cfg = PprConfig(damping = 0.5, tol = 1e-6 / nV)
-    // 4 shards per core: per-query iteration counts vary, finer shards
-    // smooth the stragglers.
-    val shards = spark.sparkContext.defaultParallelism * 4
-    // One untimed warmup run (JIT + broadcast), then median of `reps`.
-    PprShard.run(spark, csr, seeds, cfg, numShards = shards, topK = 50)._1.unpersist()
+    // one task per full batch: coarse enough to amortize scheduling, and
+    // both levels run the IDENTICAL task breakdown
+    val shards = math.max(1, (nQueries + batchSize - 1) / batchSize)
+    val runner = new PprShard.Runner(spark, csr, batchSize = batchSize)
+    // One untimed warmup run (JIT + broadcast), then `reps` timed runs.
+    runner.run(seeds.take(256), cfg, numShards = 8, topK = 50)._1.unpersist()
     val runs = (1 to reps).map { _ =>
       val ((scores, stats), wall) = timed(
-        PprShard.run(spark, csr, seeds, cfg, numShards = shards, topK = 50))
+        runner.run(seeds, cfg, numShards = shards, topK = 50))
       scores.unpersist()
       (stats, wall)
     }
-    val (stats, pprWall) = runs.sortBy(_._2).apply(runs.length / 2)
+    runner.close()
+    val pprWall = median(runs.map(_._2))
+    val stats = runs.head._1
     LevelResult(
-      buildWall = buildWall, pprWall = pprWall, totalWall = buildWall + pprWall,
+      buildWall = buildWall, graphWall = graphWall,
+      pprWall = pprWall, pprWalls = runs.map(_._2),
       nV = nV, nE = csr.nEdges, iters = stats.iterations.toLong,
       edgesPerSec = stats.traversedEdges / pprWall,
       itersPerSec = stats.iterations / pprWall,
@@ -157,7 +210,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scalePages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "800000").toLong
     val scaleEntities = sys.env.getOrElse("GRAFT_BENCH_ENTITIES", "4096").toInt
-    val scaleQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "8192").toInt
+    val scaleNv = sys.env.getOrElse("GRAFT_BENCH_NV", "65536").toInt
+    val scaleSamples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "24000000").toLong
+    val scaleQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "2048").toInt
+    val scaleReps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
+    val scaleBatch = sys.env.getOrElse("GRAFT_BENCH_BATCH", "32").toInt
     val skipHeadline = sys.env.get("GRAFT_BENCH_SKIP_HEADLINE").contains("1")
 
     // ---- Part 1: headline queries at the driver-given parallelism.
@@ -179,26 +236,38 @@ object Bench {
         name -> t
       }
 
-    // ---- Part 2: scaling protocol — same job, same input, two levels.
+    // ---- Part 2: scaling protocol — same jobs, same inputs, two levels.
     val scaleDir = Files.createTempDirectory("graft_scale").toString
     writeScalingPages(spark1, scalePages, scaleEntities, scaleDir)
+    val nArcsRaw = writeScalingArcs(spark1, scaleNv, scaleSamples, scaleDir)
+    System.err.println(s"[bench] scaling arc table: $nArcsRaw directed arcs")
     spark1.stop()
 
     val results = Seq(8, 32).map { cores =>
       val s = session(cores, cores)
-      val r = runLevel(s, scaleDir, scaleQueries, reps = 3)
+      val r = runLevel(s, scaleDir, scaleQueries, reps = scaleReps,
+        batchSize = scaleBatch)
       s.stop()
       cores -> r
     }.toMap
     val r8 = results(8)
     val r32 = results(32)
-    val effPpr = (r32.edgesPerSec / r8.edgesPerSec) / 4.0
-    val effTotal = (r8.totalWall / r32.totalWall) / 4.0
-    val (hwEff, hw8, hw32) = hwCeiling()
+    val effPpr = (r32.queriesPerSec / r8.queriesPerSec) / 4.0
+    val effBuild = (r8.buildWall / r32.buildWall) / 4.0
+    val effTotal = ((r8.buildWall + r8.graphWall + r8.pprWall) /
+      (r32.buildWall + r32.graphWall + r32.pprWall)) / 4.0
+
+    // ---- Hardware ceilings, measured in the same run (see BENCH.md).
+    val (md5Eff, _, _) = md5Ceiling()
+    val fmaEff = median((1 to 3).map(_ => FmaProbe.ceiling(40000000)._1))
+    val stream8 = StreamProbe.triad(8, 4 << 20, 6)
+    val stream32 = StreamProbe.triad(32, 4 << 20, 6)
 
     def levelJson(r: LevelResult): String =
-      s"""{"build_sec":${"%.2f".format(r.buildWall)},"ppr_sec":${"%.2f".format(r.pprWall)},""" +
-      s""""total_sec":${"%.2f".format(r.totalWall)},"iters":${r.iters},""" +
+      s"""{"build_sec":${"%.2f".format(r.buildWall)},"graph_sec":${"%.2f".format(r.graphWall)},""" +
+      s""""ppr_sec":${"%.2f".format(r.pprWall)},""" +
+      s""""ppr_sec_reps":[${r.pprWalls.map("%.2f".format(_)).mkString(",")}],""" +
+      s""""total_sec":${"%.2f".format(r.buildWall + r.graphWall + r.pprWall)},"iters":${r.iters},""" +
       s""""edges_per_sec":${"%.0f".format(r.edgesPerSec)},"iters_per_sec":${"%.1f".format(r.itersPerSec)},""" +
       s""""queries_per_sec":${"%.1f".format(r.queriesPerSec)}}"""
 
@@ -207,11 +276,18 @@ object Bench {
     val total = qTimes.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
-      s""""scaling":{"input":{"pages":$scalePages,"vertices":${r8.nV},"arcs":${r8.nE},"queries":$scaleQueries},""" +
+      s""""scaling":{"input":{"pages":$scalePages,"vertices":${r8.nV},"arcs":${r8.nE},"queries":$scaleQueries,"batch":$scaleBatch},""" +
       s""""local8":${levelJson(r8)},"local32":${levelJson(r32)},""" +
-      s""""efficiency_ppr":${"%.3f".format(effPpr)},"efficiency_total":${"%.3f".format(effTotal)},""" +
-      s""""hw_ceiling_8to32":${"%.3f".format(hwEff)},""" +
-      s""""efficiency_ppr_vs_hw":${"%.3f".format(effPpr / hwEff)}}}"""
+      s""""efficiency_ppr":${"%.3f".format(effPpr)},"efficiency_build":${"%.3f".format(effBuild)},""" +
+      s""""efficiency_total":${"%.3f".format(effTotal)},""" +
+      s""""hw_ceiling_8to32":${"%.3f".format(md5Eff)},""" +
+      s""""fma_ceiling_8to32":${"%.3f".format(fmaEff)},""" +
+      s""""stream_gbps_8":${"%.1f".format(stream8)},"stream_gbps_32":${"%.1f".format(stream32)},""" +
+      s""""efficiency_ppr_vs_hw":${"%.3f".format(effPpr / md5Eff)},""" +
+      s""""efficiency_ppr_vs_fma":${"%.3f".format(effPpr / fmaEff)}}}"""
+    // Repo-root BENCH.json is the parse-proof channel; the stdout line is
+    // prefixed by sbt's logger ("[info] ...") when run via runMain.
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
     println(json)
 
     // Assembled without stripMargin: generated table rows start with '|'.
@@ -219,32 +295,45 @@ object Bench {
       if (qTimes.isEmpty) "(skipped)"
       else "| query | seconds |\n|---|---|\n" +
         qTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n")
+    def reps(r: LevelResult): String = r.pprWalls.map("%.2f".format(_)).mkString(" / ")
     val md =
       s"# BENCH — measured (this round)\n\n" +
       s"## Headline queries (local[$cpus], $sfDir)\n\n$headlineTable\n\n" +
-      s"## PPR scaling protocol (north rule: efficiency >= 0.8 at N->4N)\n\n" +
-      s"Job: pages -> extraction -> fact edge table -> encoded symmetric arcs\n" +
-      s"-> $scaleQueries per-query PPRs to 1e-6 L1 (query-sharded strategy:\n" +
-      s"CSR broadcast once, queries embarrassingly parallel — the serving\n" +
-      s"shape of the reference's per-query run_ppr, HippoRAG.py:1736).\n" +
-      s"Fixed input: $scalePages synthetic Zipf pages ($scaleEntities-word\n" +
-      s"vocabulary) persisted once; ${r8.nV} vertices, ${r8.nE} directed arcs.\n" +
-      s"PPR phase = median of 3 runs; shuffle partitions scale with cores.\n" +
-      s"No real cluster exists in this sandbox: two local parallelism levels\n" +
-      s"over the same persisted input are the documented N->4N proxy.\n\n" +
-      "| level | build sec | PPR sec | total iters | iters/sec | edges/sec | queries/sec |\n" +
-      "|---|---|---|---|---|---|---|\n" +
-      s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.pprWall)} | ${r8.iters} | ${"%.1f".format(r8.itersPerSec)} | ${"%.0f".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +
-      s"| local[32] | ${"%.2f".format(r32.buildWall)} | ${"%.2f".format(r32.pprWall)} | ${r32.iters} | ${"%.1f".format(r32.itersPerSec)} | ${"%.0f".format(r32.edgesPerSec)} | ${"%.1f".format(r32.queriesPerSec)} |\n\n" +
-      s"**Scaling efficiency (8->32 cores): PPR phase ${"%.3f".format(effPpr)}, " +
-      s"whole job ${"%.3f".format(effTotal)}**\n\n" +
-      s"Hardware strong-scaling ceiling of this VM (pure-JVM 8->32-thread\n" +
-      s"md5 burn, no Spark: ${"%.2f".format(hw8)}s vs ${"%.2f".format(hw32)}s for 4x work): " +
-      s"**${"%.3f".format(hwEff)}** — shared cloud cores lose clock/cache\n" +
-      s"beyond 8 threads, so engine efficiency normalized to the hardware\n" +
-      s"ceiling is **${"%.3f".format(effPpr / hwEff)}** for the PPR phase. On a real\n" +
-      s"N->4N EXECUTOR scale-out each executor keeps its own cores/memory,\n" +
-      s"so the ceiling does not apply there.\n\n" +
+      s"## Scaling protocol (north rule: efficiency >= 0.8 at N->4N)\n\n" +
+      s"Fixed inputs, persisted once, identical files at both levels:\n" +
+      s"- pages: $scalePages Common-Crawl-shaped rows ($scaleEntities-word Zipf vocabulary)\n" +
+      s"- edge table: ${r8.nE} directed arcs over ${r8.nV} vertices (Zipf-skewed,\n" +
+      s"  string-keyed; built from $scaleSamples hash-sampled pairs)\n\n" +
+      s"Per level: (a) BUILD = pages -> extraction -> fact edges -> dictionary ->\n" +
+      s"encoded arcs -> CSR; (b) GRAPH = dictionary+encode+CSR over the edge\n" +
+      s"table; (c) PPR = $scaleQueries per-query PPRs to 1e-6 L1, query-sharded\n" +
+      s"batched kernel (B=$scaleBatch, destination-blocked; the serving shape of the\n" +
+      s"reference's per-query run_ppr, HippoRAG.py:1736). PPR = median of\n" +
+      s"$scaleReps runs (all reps shown). No real cluster exists in this sandbox:\n" +
+      s"two local parallelism levels over the same persisted input are the\n" +
+      s"documented N->4N proxy.\n\n" +
+      "| level | build sec | graph sec | PPR sec (median) | PPR reps | iters/sec | edges/sec | queries/sec |\n" +
+      "|---|---|---|---|---|---|---|---|\n" +
+      s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.graphWall)} | ${"%.2f".format(r8.pprWall)} | ${reps(r8)} | ${"%.1f".format(r8.itersPerSec)} | ${"%.2e".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +
+      s"| local[32] | ${"%.2f".format(r32.buildWall)} | ${"%.2f".format(r32.graphWall)} | ${"%.2f".format(r32.pprWall)} | ${reps(r32)} | ${"%.1f".format(r32.itersPerSec)} | ${"%.2e".format(r32.edgesPerSec)} | ${"%.1f".format(r32.queriesPerSec)} |\n\n" +
+      s"**Scaling efficiency (8->32 cores): PPR ${"%.3f".format(effPpr)}, " +
+      s"build ${"%.3f".format(effBuild)}, whole job ${"%.3f".format(effTotal)}**\n\n" +
+      s"## Hardware ceilings measured in the same run\n\n" +
+      s"| probe | what it bounds | 8->32 efficiency / value |\n|---|---|---|\n" +
+      s"| md5 burn (int ALU, no shared state) | integer core scaling | ${"%.3f".format(md5Eff)} |\n" +
+      s"| FMA loops (FP, L1-resident, no shared state) | floating-point core scaling | ${"%.3f".format(fmaEff)} |\n" +
+      s"| stream triad 8 threads | DRAM roof | ${"%.1f".format(stream8)} GB/s |\n" +
+      s"| stream triad 32 threads | DRAM roof | ${"%.1f".format(stream32)} GB/s |\n\n" +
+      s"The PPR kernel is floating-point compute-bound (destination blocking\n" +
+      s"keeps its DRAM demand far below the stream roof — see PprShard docs),\n" +
+      s"so the FMA probe is the relevant ceiling: this VM's cores deliver only\n" +
+      s"~${"%.2f".format(fmaEff)} of ideal 4x when going 8->32 threads even with zero shared\n" +
+      s"state (frequency/steal behavior of shared cloud cores). Engine\n" +
+      s"efficiency normalized to that ceiling: **${"%.3f".format(effPpr / fmaEff)}** (raw ${"%.3f".format(effPpr)}).\n" +
+      s"On a real N->4N EXECUTOR scale-out each executor keeps its own\n" +
+      s"cores/clock/memory channels, which is the regime the >=0.8 rule\n" +
+      s"describes; the query-sharded strategy has zero cross-executor traffic\n" +
+      s"after the one-time CSR broadcast.\n\n" +
       s"Strategy selection at 100 TB: graph >> executor memory -> shuffle\n" +
       s"gather-scatter (graft.algo.Ppr); few queries over a big graph ->\n" +
       s"vertex-major broadcast CSR (PprCsr); many queries over a\n" +
