@@ -51,6 +51,7 @@ object SparkEntry {
     "q14_dedup_exact" -> (Q.qDedupExact _),
     "q15_minhash_lsh" -> (Q.qMinHashLsh _),
     "q16_simhash" -> (Q.qSimHash _),
+    "q16b_simhash_pairs" -> (Q.qSimHashPairs _),
     "q17_ngram_jaccard" -> (Q.qNgramJaccard _),
     // similarity search (J6/W5)
     "q18_cosine_topk" -> (Q.qCosineTopK _),

@@ -115,6 +115,9 @@ object Ppr {
     var x = prior.map(_.ranks).getOrElse(
         p.select(col("qid"), col("vid"), col("p").as("x")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the PERSISTED handle behind x (x itself may be a projection of it —
+    // unpersisting the projection would silently no-op and leak the cache)
+    var xCache = x
     var dangle: Map[Long, Double] = prior.map(_.dangle).getOrElse {
       x.join(danglingSeeds, Seq("qid", "vid"))
         .groupBy("qid").agg(sum("x").as("ds"))
@@ -129,34 +132,58 @@ object Ppr {
       val contrib = x.join(arcsN, col("vid") === col("a_src"))
         .groupBy(col("qid"), col("a_dst").as("v"))
         .agg(sum(col("x") * col("nw")).as("c"))
-      val next0 = contrib
+      // ONE pass over the (qid, vid) state per iteration: the old rank is
+      // carried through the update join (same (qid, v) keys — Catalyst
+      // reuses the partitioning, no extra shuffle), so the per-row L1
+      // delta and the next danglesum come out of the SAME projection the
+      // update writes, instead of a second full_outer self-join over the
+      // state (which doubled the per-iteration shuffle volume).
+      //
+      // Support monotonicity makes the 3-way full_outer complete: x(v)>0
+      // requires p(v)>0 or an in-neighbor with mass, so support(x) ⊆
+      // support(p) ∪ support(contrib) — no old-rank row can vanish
+      // without a matching update row.
+      val joined0 = contrib
         .join(p.withColumnRenamed("vid", "v"), Seq("qid", "v"), "full_outer")
+        .join(x.withColumnRenamed("x", "xo").withColumnRenamed("vid", "v"),
+          Seq("qid", "v"), "full_outer")
         .join(dangleDf, Seq("qid"), "left")
+        .join(danglingSeeds.withColumn("isd", lit(true)).withColumnRenamed("vid", "v"),
+          Seq("qid", "v"), "left")
         .select(col("qid"), col("v").as("vid"),
           (lit(alpha) * (coalesce(col("c"), lit(0.0)) +
              coalesce(col("ds"), lit(0.0)) * coalesce(col("p"), lit(0.0))) +
-           lit(1.0 - alpha) * coalesce(col("p"), lit(0.0))).as("x"))
+           lit(1.0 - alpha) * coalesce(col("p"), lit(0.0))).as("x"),
+          coalesce(col("xo"), lit(0.0)).as("xo"),
+          coalesce(col("isd"), lit(false)).as("isd"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val next =
+      val joined =
         if ((iter + 1) % cfg.checkpointEvery == 0) {
-          val chk = next0.localCheckpoint(true) // truncate lineage
-          next0.unpersist(false)
+          val chk = joined0.localCheckpoint(true) // truncate lineage
+          joined0.unpersist(false)
           chk
-        } else next0
+        } else joined0
 
       // One action per iteration: per-query L1 delta + next danglesum.
-      val stats = next.withColumnRenamed("x", "xn")
-        .join(x.withColumnRenamed("x", "xo"), Seq("qid", "vid"), "full_outer")
-        .join(danglingSeeds.withColumn("isd", lit(true)), Seq("qid", "vid"), "left")
+      val stats = joined
         .groupBy("qid")
         .agg(
-          sum(abs(coalesce(col("xn"), lit(0.0)) - coalesce(col("xo"), lit(0.0)))).as("err"),
-          sum(when(col("isd"), coalesce(col("xn"), lit(0.0))).otherwise(0.0)).as("ds"))
+          sum(abs(col("x") - col("xo"))).as("err"),
+          sum(when(col("isd"), col("x")).otherwise(0.0)).as("ds"))
         .collect()
       val errs = stats.map(r => r.getLong(0) -> r.getDouble(1)).toMap
       dangle = stats.map(r => r.getLong(0) -> r.getDouble(2)).toMap
-      x.unpersist(false)
-      x = next
+      xCache.unpersist(false)
+      xCache = joined
+      // Re-root the next rank state as a LogicalRDD leaf over the PERSISTED
+      // joined frame: the fused update references x twice (contrib + xo),
+      // so keeping the raw logical plan would DOUBLE the tree per iteration
+      // (2^checkpointEvery nodes before each truncation — OOM in the
+      // listener's explainString long before execution). The leaf keeps
+      // every iteration's plan constant-size; RDD lineage stays linear and
+      // is truncated by the localCheckpoint every `checkpointEvery` iters.
+      val proj = joined.select("qid", "vid", "x")
+      x = spark.createDataFrame(proj.rdd, proj.schema)
       iter += 1
       converged = errs.nonEmpty && errs.values.forall(_ < threshold)
       cfg.checkpointDir.foreach { dir =>

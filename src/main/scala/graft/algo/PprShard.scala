@@ -327,6 +327,35 @@ object PprShard {
     (outV, outS)
   }
 
+  /** Per-partition solve + emission shared by Runner.run / Runner.runFrame.
+    * Object-level on purpose: task closures must capture only this static
+    * call + primitives, never the Runner (it holds the SparkSession).
+    */
+  private def solvePartition(
+      it: Iterator[(Long, Seq[(Long, Double)])],
+      local: BlockedCsr, cfg: PprConfig, topK: Int, batchCap: Int,
+      iterAcc: org.apache.spark.util.LongAccumulator,
+      capped: org.apache.spark.util.LongAccumulator): Iterator[(Long, Long, Double)] = {
+    val nV = local.nV
+    it.grouped(math.max(1, batchCap)).flatMap { group =>
+      val (x, iters, _) = solveBatch(local, group.map(_._2).toArray,
+        cfg.damping, cfg.tol, cfg.maxIter)
+      val nB = group.length
+      group.iterator.map(_._1).zipWithIndex.flatMap { case (qid, b) =>
+        iterAcc.add(iters(b))
+        if (iters(b) >= cfg.maxIter) capped.add(1)
+        if (topK > 0) {
+          val (vs, ss) = topKStrided(x, nB, b, nV, topK)
+          Iterator.tabulate(vs.length)(i => (qid, vs(i).toLong, ss(i)))
+        } else {
+          (0 until nV).iterator
+            .map(v => (qid, v.toLong, x(v * nB + b)))
+            .filter(_._3 != 0.0)
+        }
+      }
+    }
+  }
+
   /** Reusable handle: blocks + broadcasts the graph ONCE, then serves any
     * number of query batches — repeated [[run]] calls would otherwise pay
     * a fresh O(E) broadcast per call.
@@ -339,6 +368,16 @@ object PprShard {
       else math.max(1024, 524288 / (8 * math.max(1, batchSize)))
     private val bc = spark.sparkContext.broadcast(block(csr, bv))
     val nEdges: Long = csr.nEdges
+
+    private def finish(scores: DataFrame, t0: Long,
+                       iterAcc: org.apache.spark.util.LongAccumulator,
+                       capped: org.apache.spark.util.LongAccumulator): (DataFrame, PprStats) = {
+      val out = scores.persist()
+      out.count() // materialize so stats are final
+      val wall = (System.nanoTime() - t0) / 1e9
+      val iters = iterAcc.value.toInt
+      (out, PprStats(iters, converged = capped.value == 0L, nEdges * iters, wall))
+    }
 
     def run(seeds: Seq[(Long, Seq[(Long, Double)])], cfg: PprConfig = PprConfig(),
             numShards: Int = 0, topK: Int = 0): (DataFrame, PprStats) = {
@@ -353,35 +392,55 @@ object PprShard {
       // createDataset(...).repartition(...) paid one per call).
       val strided = (0 until shards).flatMap(s =>
         Iterator.range(s, seeds.length, shards).map(seeds))
-      val batchCap = math.max(1, batchSize)
       val bcLocal = bc
+      val batchCap = batchSize
       val scores = spark.sparkContext.parallelize(strided, shards)
+        .mapPartitions(it =>
+          PprShard.solvePartition(it, bcLocal.value, cfg, topK, batchCap, iterAcc, capped))
+        .toDF("qid", "vid", "score")
+      finish(scores, t0, iterAcc, capped)
+    }
+
+    /** Seeds as a DataFrame (qid, vid, weight) — the serving path for
+      * dense per-query reset vectors (the Retriever's passage weights
+      * span ALL chunks per query): seed rows are hash-repartitioned by
+      * qid and grouped INSIDE tasks against the broadcast CSR, so the
+      * driver never materializes the Q×V seed matrix (round-1 collected
+      * it — OOM territory for thousands of queries near the CSR gate).
+      */
+    def runFrame(seeds: DataFrame, cfg: PprConfig = PprConfig(),
+                 numShards: Int = 0, topK: Int = 0): (DataFrame, PprStats) = {
+      import spark.implicits._
+      val t0 = System.nanoTime()
+      val shards = if (numShards > 0) numShards else spark.sparkContext.defaultParallelism
+      val iterAcc = spark.sparkContext.longAccumulator("ppr_iterations")
+      val capped = spark.sparkContext.longAccumulator("ppr_maxiter_hits")
+      val bcLocal = bc
+      val batchCap = batchSize
+      val scores = seeds
+        .select(col("qid").cast("long"), col("vid").cast("long"),
+          col("weight").cast("double"))
+        .repartition(shards, col("qid"))
+        .sortWithinPartitions("qid", "vid")
+        .as[(Long, Long, Double)]
         .mapPartitions { it =>
-          val local = bcLocal.value
-          val nV = local.nV
-          it.grouped(batchCap).flatMap { group =>
-            val (x, iters, _) = solveBatch(local, group.map(_._2).toArray,
-              cfg.damping, cfg.tol, cfg.maxIter)
-            val nB = group.length
-            group.iterator.map(_._1).zipWithIndex.flatMap { case (qid, b) =>
-              iterAcc.add(iters(b))
-              if (iters(b) >= cfg.maxIter) capped.add(1)
-              if (topK > 0) {
-                val (vs, ss) = topKStrided(x, nB, b, nV, topK)
-                Iterator.tabulate(vs.length)(i => (qid, vs(i).toLong, ss(i)))
-              } else {
-                (0 until nV).iterator
-                  .map(v => (qid, v.toLong, x(v * nB + b)))
-                  .filter(_._3 != 0.0)
+          // consecutive same-qid rows → one query's sparse reset vector
+          val grouped = new Iterator[(Long, Seq[(Long, Double)])] {
+            private val buf = it.buffered
+            def hasNext: Boolean = buf.hasNext
+            def next(): (Long, Seq[(Long, Double)]) = {
+              val q = buf.head._1
+              val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+              while (buf.hasNext && buf.head._1 == q) {
+                val r = buf.next()
+                b += ((r._2, r._3))
               }
+              (q, b.toSeq)
             }
           }
+          PprShard.solvePartition(grouped, bcLocal.value, cfg, topK, batchCap, iterAcc, capped)
         }.toDF("qid", "vid", "score")
-      val out = scores.persist()
-      out.count() // materialize so stats are final
-      val wall = (System.nanoTime() - t0) / 1e9
-      val iters = iterAcc.value.toInt
-      (out, PprStats(iters, converged = capped.value == 0L, nEdges * iters, wall))
+      finish(scores, t0, iterAcc, capped)
     }
 
     def close(): Unit = bc.destroy()

@@ -17,6 +17,13 @@ object Ids {
 
   def mdhash(ns: String, content: Column): Column = concat(lit(ns), md5(content))
 
+  /** Driver-side twin of [[mdhash]] for tests / literals. */
+  def mdhashStr(ns: String, content: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ns + d.map("%02x".format(_)).mkString
+  }
+
   /** Deterministic dictionary encoding of string keys → dense Longs [0, n).
     *
     * id(key) = rank of key in the globally sorted distinct key set. NOT

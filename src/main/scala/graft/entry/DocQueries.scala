@@ -19,6 +19,22 @@ import graft.ops.{Ann, Dedup, TextMetrics}
   */
 object DocQueries {
 
+  /** Memoized eager persist for subtrees shared across queries AND across
+    * the multiple actions inside one query (iterative CC/LPA/PPR). Keyed
+    * per (session, label): repeated calls — q24/q25/q26/q27b all derive
+    * the same entity arcs; qPpr's dictionary feeds three actions — reuse
+    * ONE cached copy instead of persisting a fresh leak per call
+    * (round-1 leaked one cached arc table per query). The eager count()
+    * stops parallel branch stages from racing an un-materialized cache.
+    */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def memoPersist(s: SparkSession, label: String)(df: => DataFrame): DataFrame =
+    memo.computeIfAbsent(System.identityHashCode(s) + ":" + label, _ => {
+      val d = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      d
+    })
+
   def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
   def embeddingsTable(s: SparkSession, dir: String): DataFrame =
@@ -30,9 +46,13 @@ object DocQueries {
   def chunks(s: SparkSession, dir: String): DataFrame =
     Extract.chunks(documents(s, dir), "text", Seq("doc_id"))
 
-  /** Chunk-distinct adjacent-token triples (U2 substitute, P2 dedup). */
+  /** Chunk-distinct adjacent-token triples (U2 substitute, P2 dedup).
+    * Memo-persisted: nearly every query derives from this extraction.
+    */
   def triples(s: SparkSession, dir: String): DataFrame =
-    Extract.adjacentTriples(chunks(s, dir).dropDuplicates("chunk_id"))
+    memoPersist(s, s"triples:$dir") {
+      Extract.adjacentTriples(chunks(s, dir).dropDuplicates("chunk_id"))
+    }
 
   // ------------------------------------------------------------ P1/F1/F2/F3
 
@@ -138,9 +158,16 @@ object DocQueries {
     Dedup.exact(documents(s, dir), "text", "doc_id")
       .orderBy("text_hash")
 
+  /** Shared 3-gram shingle rows — q15 and q17 both consume this; ONE
+    * memo-persisted copy instead of two runs of the normalize+explode
+    * chain (the suite's single most expensive shared subtree).
+    */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, s"shingles3:$dir")(
+      Dedup.shingleRows(documents(s, dir), "text", "doc_id", w = 3))
+
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sigs = Dedup.minHashSignatures(documents(s, dir), "text", "doc_id",
-      numHashes = 16, shingleWidth = 3)
+    val sigs = Dedup.minHashSignaturesFrom(docShingles(s, dir), numHashes = 16)
     Dedup.minHashCandidates(sigs, bands = 4, rowsPerBand = 4)
       .orderBy("a", "b")
   }
@@ -149,9 +176,17 @@ object DocQueries {
     Dedup.simHash(documents(s, dir), "text", "doc_id")
       .orderBy("key")
 
+  /** Banded SimHash near-dup pair search (pigeonhole over maxHamming+1
+    * bands — equi-join, never the all-pairs theta join).
+    */
+  def qSimHashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Dedup.simHash(documents(s, dir), "text", "doc_id"),
+        maxHamming = 3)
+      .orderBy("a", "b")
+
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(documents(s, dir), "text", "doc_id",
-      shingleWidth = 3, threshold = 0.5, maxDocFreq = 100L)
+    Dedup.ngramJaccardPairsFrom(docShingles(s, dir),
+      threshold = 0.5, maxDocFreq = 100L)
       .select(col("a"), col("b"), round(col("jaccard"), 9).as("jaccard"))
       .orderBy("a", "b")
 
@@ -203,11 +238,15 @@ object DocQueries {
 
   // ------------------------------------------------------------ graph algos (G1/G4/G5/G6)
 
-  /** Entity co-occurrence graph (fact edges only), string-keyed. */
+  /** Entity co-occurrence graph (fact edges only), string-keyed.
+    * Memo-persisted: the iterative consumers (CC/LPA) run one action per
+    * round and would re-extract the corpus every iteration otherwise —
+    * and q24/q25/q26/q27b share the ONE cached copy.
+    */
   private def entityArcs(s: SparkSession, dir: String): DataFrame =
-    // Persisted: the iterative consumers (CC/LPA) run one action per
-    // round and would re-extract the corpus every iteration otherwise.
-    Adjacency.symmetrize(GraphBuild.factEdges(triples(s, dir))).persist()
+    memoPersist(s, s"entityArcs:$dir") {
+      Adjacency.symmetrize(GraphBuild.factEdges(triples(s, dir)))
+    }
 
   private def entityVertices(s: SparkSession, dir: String): DataFrame =
     Extract.entities(Extract.chunkEntities(triples(s, dir)))
@@ -240,8 +279,13 @@ object DocQueries {
     val verts = GraphBuild.vertices(
       Extract.entities(Extract.chunkEntities(t)),
       chunks(s, dir).dropDuplicates("chunk_id"))
-    val dict = Ids.dictionary(verts.select("key"), "key")
-    val arcs = Adjacency.encode(Adjacency.symmetrize(edges), dict)
+    // Memo-persisted: the dictionary feeds nV, the encode join AND the
+    // final score read-out; the arcs feed the CSR collect — without the
+    // caches this query ran the whole derivation DAG twice (round 1:
+    // ~45s of its 73s bench time was the duplicated extraction).
+    val dict = memoPersist(s, s"pprDict:$dir")(Ids.dictionary(verts.select("key"), "key"))
+    val arcs = memoPersist(s, s"pprArcs:$dir")(
+      Adjacency.encode(Adjacency.symmetrize(edges), dict))
     val topEntity = Extract.chunkEntities(t)
       .groupBy("entity").agg(countDistinct("chunk_id").as("df"))
       .orderBy(col("df").desc, col("entity").asc).limit(1)

@@ -78,6 +78,21 @@ dsh AS (
 
   private def q(body: String): String = prelude + body
 
+  /** q19's LSH planes inlined as SQL literals so DuckDB recomputes the
+    * same sign buckets: the planes are deterministic hash-seeded unit
+    * float vectors ([[graft.extract.Embeddings.hashUnit]]); Double
+    * .toString round-trips the exact float-widened value, so the duck
+    * dot products use the identical terms as the Spark expression
+    * (summation order may differ — sign decisions are ~0.1 magnitude,
+    * far above reorder noise). Mirrors Ann.lshTopK(nPlanes=8, tables=4,
+    * dim=64) as invoked by qAnnLsh.
+    */
+  private val lshPlaneValues: String =
+    (for (t <- 0 until 4; j <- 0 until 8) yield {
+      val v = graft.extract.Embeddings.hashUnit(s"lsh$t:$j", 64)
+      s"($t, $j, [${v.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }).mkString(",\n")
+
   private val enStop = graft.ops.TextMetrics.enStop.map(s => s"'$s'").mkString(", ")
   private val deStop = graft.ops.TextMetrics.deStop.map(s => s"'$s'").mkString(", ")
   private val frStop = graft.ops.TextMetrics.frStop.map(s => s"'$s'").mkString(", ")
@@ -177,6 +192,26 @@ dsh AS (
         |  GROUP BY doc_id, j)
         |GROUP BY doc_id ORDER BY "key"""".stripMargin),
 
+    // q16b — naive all-pairs hamming filter; the Spark side uses the
+    // pigeonhole band equi-join, whose output is identical by construction.
+    "q16b_simhash_pairs" -> q(
+      """, sims AS (
+        |  SELECT doc_id AS key,
+        |    CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM (
+        |    SELECT doc_id, j,
+        |           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |    FROM (SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |          FROM dtoks)
+        |    CROSS JOIN range(32) r(j)
+        |    GROUP BY doc_id, j)
+        |  GROUP BY doc_id)
+        |SELECT l.key AS a, r.key AS b,
+        |       CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+        |FROM sims l JOIN sims r ON l.key < r.key
+        |WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+        |ORDER BY a, b""".stripMargin),
+
     "q17_ngram_jaccard" -> q(
       """, dshf AS (
         |  SELECT d.doc_id, d.sh FROM dsh d
@@ -189,6 +224,30 @@ dsh AS (
         |JOIN (SELECT doc_id, count(*) AS nb FROM dshf GROUP BY doc_id) sb ON sb.doc_id = b
         |WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5
         |ORDER BY a, b""".stripMargin),
+
+    "q19_ann_lsh" -> s"""
+      |WITH pl0(t, j, w) AS (VALUES
+      |$lshPlaneValues),
+      |pl AS (SELECT t, j, unnest(w) AS w, generate_subscripts(w, 1) AS i FROM pl0),
+      |ev AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |dots AS (SELECT e.vec_id, p.t, p.j, sum(CAST(e.x AS DOUBLE) * p.w) AS d
+      |         FROM ev e JOIN pl p ON p.i = e.i GROUP BY e.vec_id, p.t, p.j),
+      |buckets AS (SELECT vec_id, t,
+      |              sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS bucket
+      |            FROM dots GROUP BY vec_id, t),
+      |cand AS (SELECT DISTINCT l.vec_id AS qid, r.vec_id AS kid
+      |         FROM buckets l JOIN buckets r ON r.t = l.t AND r.bucket = l.bucket AND l.vec_id <> r.vec_id),
+      |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv FROM ev GROUP BY vec_id),
+      |cd AS (SELECT c.qid, c.kid, sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      |       FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.kid AND b.i = a.i
+      |       GROUP BY c.qid, c.kid),
+      |scored AS (SELECT cd.qid, cd.kid, cd.dot / (na.nv * nb.nv) AS score
+      |           FROM cd JOIN nrm na ON na.vec_id = cd.qid JOIN nrm nb ON nb.vec_id = cd.kid)
+      |SELECT qid, kid, rank FROM (
+      |  SELECT qid, kid, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, CAST(kid AS VARCHAR) ASC) AS INTEGER) AS rank
+      |  FROM scored) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin,
 
     "q18_cosine_topk" -> """
       |WITH ev AS (
@@ -290,6 +349,33 @@ dsh AS (
         |            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
         |    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
         |  GROUP BY v) t ON t.v = e.v
+        |ORDER BY entity_id""".stripMargin),
+
+    // q27b — 10 rounds of synchronous weighted min-tie LPA as a recursive
+    // CTE with an iteration counter. Zero-weight self-loops give every
+    // vertex a row each round WITHOUT changing winners (positive neighbor
+    // sums always beat the 0-weight self vote; isolated vertices keep
+    // their label) — this keeps the recursive term down to the single
+    // allowed reference to the recursive CTE. Spark may stop before round
+    // 10 when no label changes; the fixpoint is stable under recomputation
+    // so round-10 labels are identical (validated vs the Spark output).
+    "q27b_lpa" -> q(
+      """, av AS (SELECT src, dst, weight FROM symarcs
+        |       UNION ALL
+        |       SELECT v, v, CAST(0 AS DOUBLE) FROM ents),
+        |lab(i, vid, label) AS (
+        |  SELECT 0, v, v FROM ents
+        |  UNION ALL
+        |  SELECT i + 1, vid, label FROM (
+        |    SELECT t.i AS i, t.vid AS vid, t.label AS label,
+        |           row_number() OVER (PARTITION BY t.i, t.vid
+        |             ORDER BY t.w DESC, t.label ASC) AS rn
+        |    FROM (SELECT l.i AS i, a.dst AS vid, l.label AS label,
+        |                 sum(a.weight) AS w
+        |          FROM lab l JOIN av a ON a.src = l.vid
+        |          WHERE l.i < 10
+        |          GROUP BY l.i, a.dst, l.label) t) WHERE rn = 1)
+        |SELECT vid AS entity_id, label FROM lab WHERE i = 10
         |ORDER BY entity_id""".stripMargin),
 
     "q26_degrees" -> q(

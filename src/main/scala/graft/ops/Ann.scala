@@ -1,11 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.extract.Embeddings
-import graft.functions.VectorOps
+import graft.functions.{TopKAgg, VectorOps}
 import graft.retrieve.Knn
 
 /** Approximate nearest neighbor over an embedding column.
@@ -42,13 +42,30 @@ object Ann {
     * brute-force O(Q·K) matmul.
     * @return (qid, kid, score, rank)
     */
+  /** Drop (tbl, bucket) groups larger than `maxBucket` BEFORE the self
+    * join: a bucket of size F contributes F² candidate pairs and, past a
+    * few hundred members, ~zero discriminative signal — at web scale one
+    * hot bucket (all-near-zero vectors, template pages) turns the join
+    * quadratic. Trades recall inside dropped buckets for a hard bound of
+    * maxBucket·|rows| on the join output.
+    */
+  private def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bucketed
+    else {
+      val sizes = bucketed.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+      bucketed.join(broadcast(sizes.where(col("bsz") <= maxBucket)
+        .select("tbl", "bucket")), Seq("tbl", "bucket"), "left_semi")
+    }
+
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
-              nPlanes: Int, dim: Int, tables: Int = 4): DataFrame = {
+              nPlanes: Int, dim: Int, tables: Int = 4,
+              maxBucket: Int = 0): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val bucketed = (0 until tables).map { t =>
+    val bucketed0 = (0 until tables).map { t =>
       lshBuckets(base, "v", nPlanes, dim, seed = s"lsh$t")
         .select(lit(t).as("tbl"), col("bucket"), col("id"), col("v"))
     }.reduce(_ unionAll _)
+    val bucketed = capBuckets(bucketed0, maxBucket)
     val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("qid"), col("v").as("qv"))
     val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("kid"), col("v").as("kv"))
     val cand = l.join(r, Seq("tbl", "bucket"))
@@ -59,5 +76,46 @@ object Ann {
       VectorOps.cosine(col("qv"), col("kv")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("kid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Two-sided LSH ANN top-k — [[Knn.topK]]'s contract (same output shape,
+    * same (score desc, kid asc) order) with LSH candidate generation
+    * instead of the broadcast nested-loop cross join: queries and keys are
+    * bucketed under the SAME plane tables and candidates come from the
+    * (table, bucket) equi-join. This is the ≥100-TB path for
+    * all-entities-vs-all-entities jobs (synonymy expansion) where
+    * broadcasting the query side is O(E·dim) memory and scoring is O(E²).
+    * Bounded [[TopKAgg]] keeps the exchange at O(Q·k·partitions).
+    *
+    * @param queries (qid, qvec)  @param keys (kid, kvec)
+    */
+  def lshTopKJoin(queries: DataFrame, keys: DataFrame, k: Int,
+                  nPlanes: Int, dim: Int, tables: Int = 4,
+                  excludeSelf: Boolean = true,
+                  score: (Column, Column) => Column = VectorOps.dot,
+                  maxBucket: Int = 0): DataFrame = {
+    val qb = (0 until tables).map { t =>
+      lshBuckets(queries.select(col("qid"), col("qvec").as("v")), "v",
+          nPlanes, dim, seed = s"lsh$t")
+        .select(lit(t).as("tbl"), col("bucket"), col("qid"), col("v").as("qvec"))
+    }.reduce(_ unionAll _)
+    val kb0 = (0 until tables).map { t =>
+      lshBuckets(keys.select(col("kid"), col("kvec").as("v")), "v",
+          nPlanes, dim, seed = s"lsh$t")
+        .select(lit(t).as("tbl"), col("bucket"), col("kid").as("id"), col("v"))
+    }.reduce(_ unionAll _)
+    val kb = capBuckets(kb0, maxBucket)
+      .select(col("tbl"), col("bucket"), col("id").as("kid"), col("v").as("kvec"))
+    val cand = qb.join(kb, Seq("tbl", "bucket"))
+      .where(if (excludeSelf) col("qid") =!= col("kid") else lit(true))
+      .select("qid", "kid", "qvec", "kvec")
+      .dropDuplicates("qid", "kid") // union over tables
+    val scored = cand.select(col("qid"), col("kid"),
+      score(col("qvec"), col("kvec")).as("score"))
+    scored.groupBy("qid")
+      .agg(TopKAgg.topK(k)(col("kid"), col("score")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "sk")))
+      .select(col("qid"), col("sk.kid").as("kid"), col("sk.score").as("score"),
+        (col("pos") + 1).as("rank"))
   }
 }

@@ -37,6 +37,13 @@ object Dedup {
     array_distinct(when(n >= w, grams).otherwise(array().cast("array<string>")))
   }
 
+  /** Exploded (key, sh) shingle rows — the shared input of the MinHash
+    * and Jaccard families; callers that run both should persist ONE copy
+    * of this instead of re-deriving the normalization+explode chain.
+    */
+  def shingleRows(docs: DataFrame, textCol: String, keyCol: String, w: Int): DataFrame =
+    docs.select(col(keyCol).as("key"), explode(shingles(textCol, w)).as("sh"))
+
   /** MinHash over md5 as a STRING min: hᵢ(doc) = min over shingles of
     * md5(i || ':' || shingle) — lexicographic min of hex strings is a
     * perfectly good permutation proxy and is engine-portable (no hex→int
@@ -45,13 +52,15 @@ object Dedup {
     */
   def minHashSignatures(docs: DataFrame, textCol: String, keyCol: String,
                         numHashes: Int, shingleWidth: Int): DataFrame =
-    // One aggregation pass: the i-th signature slot is a plain MIN
-    // aggregate of md5("i:"||shingle) — numHashes column aggregates with
-    // map-side combine, instead of a numHashes-way row explosion + two
-    // shuffles. Same output, ~numHashes× less shuffled data.
-    docs.select(col(keyCol).as("key"),
-        explode(shingles(textCol, shingleWidth)).as("sh"))
-      .groupBy("key")
+    minHashSignaturesFrom(shingleRows(docs, textCol, keyCol, shingleWidth), numHashes)
+
+  /** [[minHashSignatures]] over pre-exploded (key, sh) rows. One
+    * aggregation pass: the i-th signature slot is a plain MIN aggregate of
+    * md5("i:"||shingle) — numHashes column aggregates with map-side
+    * combine, instead of a numHashes-way row explosion + two shuffles.
+    */
+  def minHashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("key")
       .agg(array((0 until numHashes).map(i =>
         min(md5(concat(lit(s"$i:"), col("sh"))))): _*).as("sig"))
 
@@ -98,14 +107,44 @@ object Dedup {
           .reduce(_ + _).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. */
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming.
+    *
+    * Pigeonhole banding: the 32 bits split into maxHamming+1 bands — any
+    * pair within distance maxHamming agrees EXACTLY on at least one band,
+    * so candidates come from an equi-join on (band, band_bits) instead of
+    * an all-pairs theta join (O(N²) at corpus scale). Full hamming is
+    * verified on candidates; output is identical to the naive join.
+    * Degenerate maxHamming ≥ 32 admits every pair — only there does the
+    * theta join remain (nothing can prune a predicate that's always true).
+    */
   def simHashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
-    val l = sims.select(col("key").as("a"), col("simhash").as("ha"))
-    val r = sims.select(col("key").as("b"), col("simhash").as("hb"))
-    l.join(r, col("a") < col("b"))
+    val l0 = sims.select(col("key").as("a"), col("simhash").as("ha"))
+    val r0 = sims.select(col("key").as("b"), col("simhash").as("hb"))
+    if (maxHamming >= 32)
+      return l0.join(r0, col("a") < col("b"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .where(col("hamming") <= maxHamming)
+        .select("a", "b", "hamming")
+    val nBands = maxHamming + 1
+    val base = 32 / nBands
+    val extra = 32 % nBands // first `extra` bands get one more bit
+    val offsets = (0 until nBands).scanLeft(0)((o, j) => o + base + (if (j < extra) 1 else 0))
+    def bandCol(sim: Column, j: Int): Column = {
+      val width = base + (if (j < extra) 1 else 0)
+      shiftright(sim, offsets(j)).bitwiseAND(lit((1L << width) - 1))
+    }
+    val banded = sims.select(col("key"), col("simhash"),
+      explode(array((0 until nBands).map(j =>
+        struct(lit(j).as("band"), bandCol(col("simhash"), j).as("bits"))): _*)).as("bb"))
+      .select(col("key"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val l = banded.select(col("band"), col("bits"), col("key").as("a"), col("simhash").as("ha"))
+    val r = banded.select(col("band"), col("bits"), col("key").as("b"), col("simhash").as("hb"))
+    l.join(r, Seq("band", "bits"))
+      .where(col("a") < col("b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .where(col("hamming") <= maxHamming)
       .select("a", "b", "hamming")
+      .dropDuplicates("a", "b") // a pair may agree on several bands
   }
 
   /** Exact n-gram Jaccard similarity for pairs above a threshold.
@@ -120,9 +159,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, keyCol: String,
                         shingleWidth: Int, threshold: Double,
-                        maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    val shAll = docs.select(col(keyCol).as("key"),
-        explode(shingles(textCol, shingleWidth)).as("sh"))
+                        maxDocFreq: Long = Long.MaxValue): DataFrame =
+    ngramJaccardPairsFrom(shingleRows(docs, textCol, keyCol, shingleWidth),
+      threshold, maxDocFreq)
+
+  /** [[ngramJaccardPairs]] over pre-exploded (key, sh) rows. */
+  def ngramJaccardPairsFrom(shAll: DataFrame, threshold: Double,
+                            maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val shUncached =
       if (maxDocFreq == Long.MaxValue) shAll
       else {

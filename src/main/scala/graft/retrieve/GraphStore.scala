@@ -26,13 +26,20 @@ class GraphStore(
   val chunks   = new SnapshotTable(spark, s"$root/chunks")    // chunk_id, content
   val triples  = new SnapshotTable(spark, s"$root/triples")   // chunk_id, subj, pred, obj
   val edges    = new SnapshotTable(spark, s"$root/edges")     // src, dst, weight, etype (string keys)
+  // Per-family edge tables (I2): the merged `edges` view applies the
+  // last-writer-wins type precedence, which destroys the information
+  // delta maintenance needs (a fact weight hidden under a synonym edge).
+  val factEdges    = new SnapshotTable(spark, s"$root/edges_fact")
+  val passageEdges = new SnapshotTable(spark, s"$root/edges_passage")
+  val synEdges     = new SnapshotTable(spark, s"$root/edges_syn")
   val vertices = new SnapshotTable(spark, s"$root/vertices")  // key, kind, content
   val chunkEmb  = new SnapshotTable(spark, s"$root/vdb_chunk")  // hash_id, content, embedding
   val entityEmb = new SnapshotTable(spark, s"$root/vdb_entity")
   val factEmb   = new SnapshotTable(spark, s"$root/vdb_fact")
 
   val chunkSchema: StructType = StructType(Seq(
-    StructField("chunk_id", StringType), StructField("content", StringType)))
+    StructField("chunk_id", StringType), StructField("content", StringType),
+    StructField("metadata", MapType(StringType, StringType)))) // S7, HippoRAG.py:193-201
   val tripleSchema: StructType = StructType(Seq(
     StructField("chunk_id", StringType), StructField("subj", StringType),
     StructField("pred", StringType), StructField("obj", StringType)))

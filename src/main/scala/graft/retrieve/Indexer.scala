@@ -10,26 +10,42 @@ import graft.graph.GraphBuild
 /** Index / delete lifecycle (reference HippoRAG.index/delete,
   * src/hipporag/HippoRAG.py:262-335 and 337-411).
   *
-  * Incremental contract (I1/I3, SURVEY.md §2.8): extraction and embedding
-  * run ONLY for chunks not yet in the store (left-anti by content hash);
-  * the derived graph (edge weights, vertices) is re-derived from the full
-  * triple set — algebraically identical to the reference's incremental
-  * `node_to_node_stats` accumulation, since fact weights are plain counts
-  * over chunk-distinct triples. Delete removes chunks and re-derives:
-  * entities/facts referenced by no surviving chunk disappear, shared ones
-  * survive — the reference's refcount semantics (HippoRAG.py:372-396) as a
-  * consequence of derivation instead of bookkeeping.
+  * Incremental contract (I1/I2/I3, SURVEY.md §2.8):
+  *
+  *  - extraction and embedding run ONLY for chunks/ids not yet in the
+  *    store (left-anti by content hash) — I1;
+  *  - the derived edge tables are maintained as DELTAS per family (I2):
+  *    fact-edge counts are distributive over disjoint chunk sets, passage
+  *    edges are disjoint by chunk, and synonymy merges the stored top-cap
+  *    lists with the two delta KNNs (new-as-query × all, old-as-query ×
+  *    new keys — the reference's delta intent, HippoRAG.py:985) and
+  *    re-caps — giving the IDENTICAL end state as a from-scratch rebuild
+  *    at O(Δ·E) instead of O(E²) work;
+  *  - delete removes chunks and re-derives from scratch: entities/facts
+  *    referenced by no surviving chunk disappear, shared ones survive —
+  *    the reference's refcount semantics (HippoRAG.py:372-396) as a
+  *    consequence of derivation instead of bookkeeping — I3.
   */
 object Indexer {
 
   case class SynonymyConfig(
       topK: Int = 2047,          // config_utils.py:160-163
       threshold: Double = 0.8,   // config_utils.py:172-175
-      cap: Int = 101)            // HippoRAG.py:1007: breaks when num_nns > 100
+      cap: Int = 101,            // HippoRAG.py:1007: breaks when num_nns > 100
+      // Above this many valid entities the exact KNN (broadcast of ALL
+      // entity embeddings + O(E²) dot products) stops being sane; the
+      // synonymy expansion switches to the bucketed LSH candidate join
+      // (graft.ops.Ann.lshTopKJoin) — approximate by design, same τ/cap
+      // semantics on the candidates it finds.
+      exactMaxEntities: Long = 65536L,
+      lshPlanes: Int = 12,
+      lshTables: Int = 6)
 
   case class IndexStats(totalChunks: Long, entities: Long, edges: Long, vertices: Long)
 
-  /** @param docs one row per document with a `content` string column.
+  /** @param docs one row per document with a `content` string column; an
+    *             optional `metadata` map<string,string> column is carried
+    *             through to the chunk store (S7, HippoRAG.py:193-201).
     * @param extractor chunks → (chunk_id, subj, pred, obj); defaults to the
     *                  sentence extractor (pages corpus).
     */
@@ -39,8 +55,16 @@ object Indexer {
       extractor: DataFrame => DataFrame = Extract.sentenceTriples,
       syn: SynonymyConfig = SynonymyConfig()): IndexStats = {
 
-    val incoming = Extract.chunks(docs, "content", Seq.empty).dropDuplicates("chunk_id")
+    val withMeta =
+      if (docs.columns.contains("metadata")) docs
+      else docs.withColumn("metadata",
+        map().cast(org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)))
+    val incoming = Extract.chunks(withMeta, "content", Seq("metadata"))
+      .select("chunk_id", "content", "metadata")
+      .dropDuplicates("chunk_id")
     val existing = store.currentChunks
+    val hadChunks = !store.chunks.isEmpty
     val newChunks = incoming.join(existing.select("chunk_id"), Seq("chunk_id"), "left_anti")
     val allChunks = existing.unionByName(newChunks)
     store.chunks.commit(allChunks, "index")
@@ -49,7 +73,12 @@ object Indexer {
     val newTriples = extractor(newChunks)
     val allTriples = store.currentTriples.unionByName(newTriples)
     store.triples.commit(allTriples, "index")
-    rebuild(store, syn)
+
+    // I2: delta maintenance needs the per-family edge tables from a prior
+    // commit; a fresh (or pre-family-format) store derives from scratch.
+    if (hadChunks && !store.factEdges.isEmpty)
+      incrementalRebuild(store, newChunks.select("chunk_id"), syn)
+    else rebuild(store, syn)
   }
 
   /** Delete by document content (reference delete, HippoRAG.py:337-411). */
@@ -69,30 +98,86 @@ object Indexer {
     val triplesNow = store.triples.read()
     val chunkEnts = Extract.chunkEntities(triplesNow)
     val ents = Extract.entities(chunkEnts)
-    val facts = Extract.facts(triplesNow)
 
-    // Embedding stores: upsert missing, drop dead ids (refcount result).
+    val entityE = syncEmbeddings(store, chunksNow, ents, triplesNow, retain = true)
+
+    val factE = GraphBuild.factEdges(triplesNow)
+    val passE = GraphBuild.passageEdges(chunkEnts)
+    val synE = synonymyEdges(entityE, syn)
+    store.factEdges.commit(factE, "rebuild")
+    store.passageEdges.commit(passE, "rebuild")
+    store.synEdges.commit(synE, "rebuild")
+    commitMerged(store, ents, chunksNow)
+  }
+
+  /** I2 — delta rebuild: only the `newChunkIds` chunks contribute new
+    * extraction/embedding/edge work; stored families absorb the deltas.
+    */
+  private def incrementalRebuild(store: GraphStore, newChunkIds: DataFrame,
+                                 syn: SynonymyConfig): IndexStats = {
+    val chunksNow = store.chunks.read()
+    val triplesNow = store.triples.read()
+    val newTriples = triplesNow.join(newChunkIds, Seq("chunk_id"), "left_semi")
+    val chunkEntsNew = Extract.chunkEntities(newTriples)
+    val ents = Extract.entities(Extract.chunkEntities(triplesNow))
+
+    // Which entity ids are NEW this batch (before the embedding upsert).
+    val oldEntityIds = store.entityEmb.readOrEmpty(store.embSchema).select("hash_id")
+    val entityE = syncEmbeddings(store, chunksNow, ents, triplesNow, retain = false)
+    val newEntityIds = ents.select(col("entity_id").as("hash_id"))
+      .join(oldEntityIds, Seq("hash_id"), "left_anti")
+
+    // Fact edges: counts over chunk-distinct triples are distributive
+    // over the disjoint old/new chunk sets — merge by weight sum.
+    val fact = store.factEdges.read()
+      .unionByName(GraphBuild.factEdges(newTriples))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+      .withColumn("etype", lit(GraphBuild.Fact))
+    store.factEdges.commit(fact, "index-delta")
+
+    // Passage edges: (chunk → entity) rows are disjoint by chunk.
+    val pass = store.passageEdges.read()
+      .unionByName(GraphBuild.passageEdges(chunkEntsNew))
+      .dropDuplicates("src", "dst")
+    store.passageEdges.commit(pass, "index-delta")
+
+    // Synonymy: stored top-cap lists ∪ delta KNNs, re-capped per query.
+    val synE = deltaSynonymy(store.synEdges.read(), entityE, newEntityIds, syn)
+    store.synEdges.commit(synE, "index-delta")
+
+    commitMerged(store, ents, chunksNow)
+  }
+
+  /** Embedding-store sync shared by both rebuild paths: upsert missing
+    * ids (I1); `retain` additionally drops dead ids (delete path, I3).
+    * @return the post-sync entity embedding table
+    */
+  private def syncEmbeddings(store: GraphStore, chunksNow: DataFrame,
+                             ents: DataFrame, triplesNow: DataFrame,
+                             retain: Boolean): DataFrame = {
+    val facts = Extract.facts(triplesNow)
     val chunkRows = chunksNow.select(col("chunk_id").as("hash_id"), col("content"))
     val entRows = ents.select(col("entity_id").as("hash_id"), col("entity").as("content"))
     val factRows = facts.select(col("fact_id").as("hash_id"),
       Extract.factContent(col("subj"), col("pred"), col("obj")).as("content"))
-    store.retainEmbeddings(store.chunkEmb, chunkRows.select("hash_id"))
-    store.retainEmbeddings(store.entityEmb, entRows.select("hash_id"))
-    store.retainEmbeddings(store.factEmb, factRows.select("hash_id"))
-    val chunkE = store.upsertEmbeddings(store.chunkEmb, chunkRows, store.embedChunk)
+    if (retain) {
+      store.retainEmbeddings(store.chunkEmb, chunkRows.select("hash_id"))
+      store.retainEmbeddings(store.entityEmb, entRows.select("hash_id"))
+      store.retainEmbeddings(store.factEmb, factRows.select("hash_id"))
+    }
+    store.upsertEmbeddings(store.chunkEmb, chunkRows, store.embedChunk)
     val entityE = store.upsertEmbeddings(store.entityEmb, entRows, store.embedEntity)
     store.upsertEmbeddings(store.factEmb, factRows, store.embedFact)
+    entityE
+  }
 
-    val synEdges = synonymyEdges(entityE, syn)
+  private def commitMerged(store: GraphStore, ents: DataFrame,
+                           chunksNow: DataFrame): IndexStats = {
     val allEdges = GraphBuild.edges(
-      GraphBuild.factEdges(triplesNow),
-      GraphBuild.passageEdges(chunkEnts),
-      synEdges)
-    store.edges.commit(allEdges, "rebuild")
-
+      store.factEdges.read(), store.passageEdges.read(), store.synEdges.read())
+    store.edges.commit(allEdges, "merge")
     val verts = GraphBuild.vertices(ents, chunksNow)
-    store.vertices.commit(verts, "rebuild")
-
+    store.vertices.commit(verts, "merge")
     IndexStats(
       totalChunks = chunksNow.count(),
       entities = ents.count(),
@@ -108,17 +193,72 @@ object Indexer {
     * (dict assignment — symmetrization happens at algorithm time).
     */
   def synonymyEdges(entityEmb: DataFrame, syn: SynonymyConfig): DataFrame = {
-    val valid = entityEmb
-      .where(length(regexp_replace(col("content"), "[^A-Za-z0-9]", "")) > 2)
-    val queries = valid.select(col("hash_id").as("qid"), col("embedding").as("qvec"))
-    val keys = entityEmb.where(col("content") =!= "")
-      .select(col("hash_id").as("kid"), col("embedding").as("kvec"))
-    val knn = Knn.topK(queries, keys, syn.topK, excludeSelf = true)
-    val accepted = knn.where(col("score") >= syn.threshold)
+    val queries = validQueries(entityEmb)
+    val keys = validKeys(entityEmb)
+    // Exact brute-force KNN broadcasts ALL query embeddings — O(E·dim)
+    // memory, O(E²) dots. Correct and fastest below the gate; above it,
+    // the LSH candidate join keeps the job linear-ish in E.
+    val knn =
+      if (queries.count() <= syn.exactMaxEntities)
+        Knn.topK(queries, keys, syn.topK, excludeSelf = true)
+      else
+        graft.ops.Ann.lshTopKJoin(queries, keys, syn.topK,
+          nPlanes = syn.lshPlanes, dim = graft.extract.Embeddings.Dim,
+          tables = syn.lshTables, excludeSelf = true)
+    capAccepted(knn.where(col("score") >= syn.threshold), syn)
+  }
+
+  /** I2 synonymy delta, end-state-identical to a full KNN rebuild:
+    *
+    *  - NEW queries score against ALL keys (the reference's "find the KNN
+    *    for the new nodes", HippoRAG.py:985);
+    *  - OLD queries score against the NEW keys only — merged with their
+    *    stored top-cap lists this reproduces the full top-cap exactly,
+    *    because anything the full rebuild would keep is either already in
+    *    the stored cap list or involves a new key.
+    */
+  private[retrieve] def deltaSynonymy(storedSyn: DataFrame, entityEmb: DataFrame,
+                                      newEntityIds: DataFrame,
+                                      syn: SynonymyConfig): DataFrame = {
+    val queries = validQueries(entityEmb)
+    val keys = validKeys(entityEmb)
+    val newQueries = queries.join(newEntityIds.select(col("hash_id").as("qid")), Seq("qid"), "left_semi")
+    val oldQueries = queries.join(newEntityIds.select(col("hash_id").as("qid")), Seq("qid"), "left_anti")
+    val newKeys = keys.join(newEntityIds.select(col("hash_id").as("kid")), Seq("kid"), "left_semi")
+
+    val newVsAll = Knn.topK(newQueries, keys, syn.topK, excludeSelf = true)
+      .where(col("score") >= syn.threshold)
+    // keys side is the small (Δ) side → broadcast it, scan the queries
+    val oldVsNew = Knn.topK(oldQueries, newKeys, syn.topK, excludeSelf = true,
+        broadcastKeys = true)
+      .where(col("score") >= syn.threshold)
+
+    val merged = storedSyn
+      .select(col("src").as("qid"), col("dst").as("kid"), col("weight").as("score"))
+      .unionByName(newVsAll.select("qid", "kid", "score"))
+      .unionByName(oldVsNew.select("qid", "kid", "score"))
+      .dropDuplicates("qid", "kid")
+    capAccepted(merged, syn)
+  }
+
+  /** τ-accepted candidates → per-query cap in (score desc, kid asc) order
+    * (the reference's insertion-order break at equal scores is set-order
+    * nondeterministic; ours is pinned — documented divergence).
+    */
+  private def capAccepted(accepted: DataFrame, syn: SynonymyConfig): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("kid").asc)
     accepted.withColumn("nn_rank", row_number().over(w))
       .where(col("nn_rank") <= syn.cap)
       .select(col("qid").as("src"), col("kid").as("dst"),
         col("score").as("weight"), lit(GraphBuild.Synonym).as("etype"))
   }
+
+  private def validQueries(entityEmb: DataFrame): DataFrame =
+    entityEmb
+      .where(length(regexp_replace(col("content"), "[^A-Za-z0-9]", "")) > 2)
+      .select(col("hash_id").as("qid"), col("embedding").as("qvec"))
+
+  private def validKeys(entityEmb: DataFrame): DataFrame =
+    entityEmb.where(col("content") =!= "")
+      .select(col("hash_id").as("kid"), col("embedding").as("kvec"))
 }

@@ -25,8 +25,14 @@ object Knn {
     */
   def topK(queries: DataFrame, keys: DataFrame, k: Int,
            excludeSelf: Boolean = false,
-           score: (Column, Column) => Column = VectorOps.dot): DataFrame = {
-    val scored = keys.join(broadcast(queries))
+           score: (Column, Column) => Column = VectorOps.dot,
+           broadcastKeys: Boolean = false): DataFrame = {
+    // broadcastKeys: when the KEY side is the small one (delta-KNN: all
+    // old queries against a handful of new keys), broadcast it instead.
+    val joined =
+      if (broadcastKeys) queries.join(broadcast(keys))
+      else keys.join(broadcast(queries))
+    val scored = joined
       .where(if (excludeSelf) col("qid") =!= col("kid") else lit(true))
       .select(col("qid"), col("kid"),
         score(col("qvec"), col("kvec")).as("score"))

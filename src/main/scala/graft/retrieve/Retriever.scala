@@ -161,9 +161,13 @@ object Retriever {
     val scores: DataFrame =
       if (nVertices <= cfg.csrMaxVertices && nArcs <= cfg.shardMaxArcs
           && queries.size >= 4) {
+        // Query-sharded: the CSR is broadcast once; the seed frame stays
+        // DISTRIBUTED (hash-repartitioned by qid, grouped inside tasks).
+        // Passage weights are dense over all chunks per query (reference
+        // semantics), so a driver collect here would be Q×V rows — the
+        // round-1 OOM path this replaces.
         val csr = PprShard.buildLocal(arcs, nVertices.toInt)
-        val seedSeq = collectSeeds(seeds)
-        PprShard.run(spark, csr, seedSeq, pprCfg)._1
+        new PprShard.Runner(spark, csr).runFrame(seeds, pprCfg)._1
       } else if (nVertices <= cfg.csrMaxVertices) {
         import spark.implicits._
         val blocks = graft.graph.Adjacency.csrBlocks(spark, arcs,

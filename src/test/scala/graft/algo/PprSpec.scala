@@ -46,6 +46,46 @@ class PprSpec extends SparkSpec {
         }
       }
 
+      if (name == "smoke" && damping == 0.5) {
+        test("query-sharded runFrame (distributed seed frame) == run (driver seeds)") {
+          // Single shard + one batch covering all queries: identical batch
+          // membership on both paths, so scores must be BITWISE equal —
+          // each query's column in the vertex-major state is fp-independent
+          // of its batch peers.
+          val csr = PprShard.buildLocal(arcsOf(g), g.nVertices)
+          val runner = new PprShard.Runner(spark, csr, batchSize = 64)
+          val cfg = PprConfig(damping = damping, tol = 1e-12)
+          val seedSeq = cases.map(c => c.qid -> c.seeds.map { case (v, w) => (v, w) })
+          val (a, _) = runner.run(seedSeq, cfg, numShards = 1)
+          val (b, _) = runner.runFrame(seedsOf(cases), cfg, numShards = 1)
+          for (c <- cases) {
+            val ga = denseScores(a, c.qid, g.nVertices)
+            val gb = denseScores(b, c.qid, g.nVertices)
+            assert(ga.sameElements(gb), s"qid=${c.qid} runFrame != run")
+          }
+          a.unpersist(); b.unpersist()
+          runner.close()
+        }
+
+        test("bounded-heap topK emission == full sort") {
+          val csr = PprShard.buildLocal(arcsOf(g), g.nVertices)
+          val seedSeq = cases.map(c => c.qid -> c.seeds.map { case (v, w) => (v, w) })
+          val cfg = PprConfig(damping = damping, tol = 1e-12)
+          val (full, _) = PprShard.run(spark, csr, seedSeq, cfg, numShards = 1)
+          val (top, _) = PprShard.run(spark, csr, seedSeq, cfg, numShards = 1, topK = 5)
+          for (c <- cases) {
+            val expect = full.where($"qid" === c.qid).collect()
+              .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("score")))
+              .sortBy { case (v, s) => (-s, v) }.take(5).toSeq
+            val got = top.where($"qid" === c.qid).collect()
+              .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("score")))
+              .sortBy { case (v, s) => (-s, v) }.toSeq
+            assert(got == expect, s"qid=${c.qid} heap top-k mismatch")
+          }
+          full.unpersist(); top.unpersist()
+        }
+      }
+
       test(s"query-sharded PPR matches golden [$name, d=$damping]") {
         val csr = PprShard.buildLocal(arcsOf(g), g.nVertices)
         val seeds = cases.map(c => c.qid -> c.seeds.map { case (v, w) => (v, w) })

@@ -87,6 +87,62 @@ class LifecycleSpec extends SparkSpec {
     assert(synNames.contains("montebello") || synNames.contains("montebellos"))
   }
 
+  test("incremental index: extraction touches only new chunks; end state == from-scratch (I2)") {
+    val storeA = freshStore()
+    var extracted = List.empty[Long]
+    val countingExtractor: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = { df =>
+      extracted = extracted :+ df.count()
+      Extract.sentenceTriples(df)
+    }
+    Indexer.index(storeA, docs.toDF("content"), countingExtractor)
+    assert(extracted.last == 5)
+    Indexer.index(storeA, extraDocs.toDF("content"), countingExtractor)
+    assert(extracted.last == 2, "incremental batch must extract ONLY the 2 new chunks")
+
+    val storeB = freshStore()
+    Indexer.index(storeB, (docs ++ extraDocs).toDF("content"))
+
+    def edgeSet(s: GraphStore) = s.edges.read()
+      .select("src", "dst", "weight", "etype").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    assert(edgeSet(storeA) == edgeSet(storeB),
+      "delta-maintained edges (incl. synonymy) must equal a from-scratch rebuild")
+    def vertSet(s: GraphStore) = s.vertices.read().select("key")
+      .collect().map(_.getString(0)).toSet
+    assert(vertSet(storeA) == vertSet(storeB))
+  }
+
+  test("chunk metadata map survives index → reopen (S7)") {
+    val store = freshStore()
+    val df = Seq(("Alice visited Paris. Paris hosts Louvre.",
+        Map("lang" -> "en", "source" -> "crawl")))
+      .toDF("content", "metadata")
+    Indexer.index(store, df)
+    val reopened = new GraphStore(spark, store.root)
+    val m = reopened.chunks.read().select("metadata")
+      .as[Map[String, String]].collect().head
+    assert(m == Map("lang" -> "en", "source" -> "crawl"))
+  }
+
+  test("synonymy above the exact-KNN gate plans an LSH equi-join, not a nested-loop join") {
+    val emb = Seq("montebello", "montebellos", "alphaville", "alphavilles")
+      .map(s => (graft.core.Ids.mdhashStr(graft.core.Ids.EntityNs, s), s,
+        graft.extract.Embeddings.trigramUnit(s)))
+      .toDF("hash_id", "content", "embedding")
+    val edges = Indexer.synonymyEdges(emb,
+      Indexer.SynonymyConfig(exactMaxEntities = 1L))
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "above the gate the synonymy KNN must not cross-join")
+    // and the LSH path still finds the near-identical pair
+    val pairs = edges.select("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val mb = graft.core.Ids.mdhashStr(graft.core.Ids.EntityNs, "montebello")
+    val mbs = graft.core.Ids.mdhashStr(graft.core.Ids.EntityNs, "montebellos")
+    assert(pairs.contains((mb, mbs)) || pairs.contains((mbs, mb)))
+  }
+
   test("per-row invariant: text byte-identical per url through the pipeline") {
     val pages = graft.ingest.PageSynth.pagesDF(spark, 64)
     val chunks = Extract.chunks(pages, "text", Seq("url"))
