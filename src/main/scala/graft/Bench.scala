@@ -98,8 +98,11 @@ object Bench {
     */
   private def writeScalingPages(spark: SparkSession, nPages: Long, nEntities: Int,
                                 dir: String): Unit =
-    graft.ingest.PageSynth.pagesDF(spark, nPages, nEntities = nEntities)
-      .repartition(192)
+    // numPartitions on the GENERATOR (narrow, AQE can't coalesce it —
+    // .repartition(192) was an AQE shuffle that collapsed back to 32
+    // output files and starved the 32-core scan to one wave of tasks)
+    graft.ingest.PageSynth.pagesDF(spark, nPages, nEntities = nEntities,
+        numPartitions = 192)
       .write.mode("overwrite").parquet(s"$dir/pages")
 
   /** Persist a string-keyed Zipf-skewed edge table (the north-rule "edge
@@ -211,7 +214,7 @@ object Bench {
     val scalePages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "800000").toLong
     val scaleEntities = sys.env.getOrElse("GRAFT_BENCH_ENTITIES", "4096").toInt
     val scaleNv = sys.env.getOrElse("GRAFT_BENCH_NV", "65536").toInt
-    val scaleSamples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "24000000").toLong
+    val scaleSamples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "6500000").toLong
     val scaleQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "2048").toInt
     val scaleReps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
     val scaleBatch = sys.env.getOrElse("GRAFT_BENCH_BATCH", "32").toInt
@@ -258,7 +261,7 @@ object Bench {
       (r32.buildWall + r32.graphWall + r32.pprWall)) / 4.0
 
     // ---- Hardware ceilings, measured in the same run (see BENCH.md).
-    val (md5Eff, _, _) = md5Ceiling()
+    val md5Eff = median((1 to 3).map(_ => md5Ceiling()._1))
     val fmaEff = median((1 to 3).map(_ => FmaProbe.ceiling(40000000)._1))
     val stream8 = StreamProbe.triad(8, 4 << 20, 6)
     val stream32 = StreamProbe.triad(32, 4 << 20, 6)

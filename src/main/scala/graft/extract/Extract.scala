@@ -40,14 +40,20 @@ object Extract {
     * deduped per chunk on (s,p,o) (llm_utils.py:222-254).
     */
   def sentenceTriples(chunks: DataFrame): DataFrame = {
-    val entityPat = "[A-Z][A-Za-z0-9]*"
+    // Hand-rolled byte-scan kernels ([[graftx.TextKernels]]) in place of
+    // split("\\.") / regexp_extract_all / regexp_replace: same output,
+    // but java.util.regex thread-scales at ~0.30 on this hardware class
+    // and this stage IS the build phase.
+    import org.apache.spark.sql.graftx
     val sentences = chunks
-      .withColumn("sentence", explode(split(col("content"), "\\.")))
+      .withColumn("sentence",
+        explode(graftx.column(graftx.SplitByte(graftx.expression(col("content")), '.'.toByte))))
       .where(trim(col("sentence")) =!= "")
     val withEnts = sentences
-      .withColumn("ents", expr(s"regexp_extract_all(sentence, '$entityPat', 0)"))
+      .withColumn("ents", graftx.column(graftx.CapRuns(graftx.expression(col("sentence")))))
       .where(size(col("ents")) >= 2)
-      .withColumn("pred_raw", regexp_replace(col("sentence"), entityPat, " "))
+      .withColumn("pred_raw",
+        graftx.column(graftx.CapRunsToSpace(graftx.expression(col("sentence")))))
     withEnts.select(
         col("chunk_id"),
         TextOps.textProcessing(element_at(col("ents"), 1)).as("subj"),

@@ -1,0 +1,224 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hand-rolled byte-scan kernels for the extraction hot path.
+  *
+  * Why these exist (measured, see BENCH.md hardware notes): on this class
+  * of shared-cloud VM, `java.util.regex` matching — even allocation-free,
+  * even with per-thread compiled Patterns — strong-scales at only ~0.30
+  * from 8→32 threads, while a plain char-scan loop reaches 0.63–0.75 and
+  * vectorized FP ~0.95. The extraction stage (sentence split, entity-run
+  * extraction, charset normalization) is regex-dominated and was the whole
+  * build phase's scaling ceiling. Each kernel below replicates its regex
+  * counterpart's output exactly (property-tested against the built-ins in
+  * CoreSpec) as a single pass over the UTF-8 bytes with no Pattern, no
+  * Matcher, no per-row allocation beyond the result.
+  *
+  * Unicode note: `normalize` mirrors `lower → replace [^a-z0-9 ] with ' '
+  * → trim`. Non-ASCII codepoints lowercase via Character.toLowerCase; a
+  * codepoint whose lowercase is outside [a-z0-9] becomes ONE space (the
+  * regex, running after String.lower, does the same for every such char —
+  * the only divergence is locale-style multi-char lowerings like U+0130,
+  * which expand under String.toLowerCase; they cannot appear in the
+  * corpora this engine targets and are documented here).
+  */
+object TextKernels {
+
+  @inline private def isAlnumUpperStart(b: Byte): Boolean = b >= 'A' && b <= 'Z'
+  @inline private def isAlnum(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
+
+  /** trim(regexp_replace(lower(s), "[^a-z0-9 ]", " ")) */
+  def normalize(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val b = in(i)
+      if (b >= 0) { // ASCII
+        val c: Byte =
+          if (b >= 'A' && b <= 'Z') (b + 32).toByte
+          else if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9') || b == ' ') b
+          else ' '
+        out(o) = c
+        o += 1
+        i += 1
+      } else {
+        // one multi-byte codepoint → lowercase; ASCII-lowerable exotica
+        // (e.g. U+212A KELVIN SIGN → 'k') keep their mapping, everything
+        // else becomes one space
+        val len =
+          if ((b & 0xE0) == 0xC0) 2
+          else if ((b & 0xF0) == 0xE0) 3
+          else if ((b & 0xF8) == 0xF0) 4
+          else 1
+        val cpStr = UTF8String.fromBytes(in, i, math.min(len, n - i)).toString
+        val lc = if (cpStr.isEmpty) ' '.toInt
+          else Character.toLowerCase(cpStr.codePointAt(0))
+        out(o) =
+          if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) lc.toByte
+          else ' '
+        o += 1
+        i += math.min(len, n - i)
+      }
+    }
+    // trim ASCII spaces
+    var lo = 0
+    while (lo < o && out(lo) == ' ') lo += 1
+    var hi = o
+    while (hi > lo && out(hi - 1) == ' ') hi -= 1
+    UTF8String.fromBytes(out, lo, hi - lo)
+  }
+
+  /** filter(split(s, " +"), _ != "") — non-empty space-run-separated tokens. */
+  def spaceTokens(s: UTF8String): GenericArrayData = {
+    val in = s.getBytes
+    val n = in.length
+    var count = 0
+    var i = 0
+    while (i < n) {
+      if (in(i) != ' ') {
+        count += 1
+        while (i < n && in(i) != ' ') i += 1
+      } else i += 1
+    }
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (in(i) != ' ') {
+        val start = i
+        while (i < n && in(i) != ' ') i += 1
+        out(k) = UTF8String.fromBytes(in, start, i - start)
+        k += 1
+      } else i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** split(s, "\\<ch>") with limit -1 — empties (incl. trailing) kept.
+    * `ch` must be an ASCII byte (never a UTF-8 continuation byte).
+    */
+  def splitByte(s: UTF8String, ch: Byte): GenericArrayData = {
+    val in = s.getBytes
+    val n = in.length
+    var count = 1
+    var i = 0
+    while (i < n) { if (in(i) == ch) count += 1; i += 1 }
+    val out = new Array[Any](count)
+    var k = 0
+    var start = 0
+    i = 0
+    while (i < n) {
+      if (in(i) == ch) {
+        out(k) = UTF8String.fromBytes(in, start, i - start)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out(k) = UTF8String.fromBytes(in, start, n - start)
+    new GenericArrayData(out)
+  }
+
+  /** regexp_extract_all(s, "[A-Z][A-Za-z0-9]*", 0) */
+  def capRuns(s: UTF8String): GenericArrayData = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var i = 0
+    while (i < n) {
+      if (isAlnumUpperStart(in(i))) {
+        val start = i
+        i += 1
+        while (i < n && isAlnum(in(i))) i += 1
+        out += UTF8String.fromBytes(in, start, i - start)
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** regexp_replace(s, "[A-Z][A-Za-z0-9]*", " ") */
+  def capRunsToSpace(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      if (isAlnumUpperStart(in(i))) {
+        out(o) = ' '
+        o += 1
+        i += 1
+        while (i < n && isAlnum(in(i))) i += 1
+      } else {
+        out(o) = in(i)
+        o += 1
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+}
+
+/** Codegen glue shared by the text kernels: a unary expression whose
+  * generated code is one static call into [[TextKernels]].
+  */
+abstract class TextKernelExpression extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  protected def staticCall(childVar: String): String
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = ${staticCall(c)};")
+}
+
+case class TextNormalize(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_text_normalize"
+  override def nullSafeEval(s: Any): Any = TextKernels.normalize(s.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"org.apache.spark.sql.graftx.TextKernels.normalize($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SpaceTokens(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_space_tokens"
+  override def nullSafeEval(s: Any): Any = TextKernels.spaceTokens(s.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"org.apache.spark.sql.graftx.TextKernels.spaceTokens($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SplitByte(child: Expression, ch: Byte) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_split_byte"
+  override def nullSafeEval(s: Any): Any = TextKernels.splitByte(s.asInstanceOf[UTF8String], ch)
+  override protected def staticCall(c: String): String =
+    s"org.apache.spark.sql.graftx.TextKernels.splitByte($c, (byte) $ch)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CapRuns(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cap_runs"
+  override def nullSafeEval(s: Any): Any = TextKernels.capRuns(s.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"org.apache.spark.sql.graftx.TextKernels.capRuns($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CapRunsToSpace(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_cap_runs_to_space"
+  override def nullSafeEval(s: Any): Any = TextKernels.capRunsToSpace(s.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"org.apache.spark.sql.graftx.TextKernels.capRunsToSpace($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

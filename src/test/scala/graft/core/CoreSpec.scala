@@ -53,6 +53,42 @@ class CoreSpec extends SparkSpec {
     assert(p1.size == 128)
   }
 
+  test("byte-scan text kernels == their regex counterparts (property)") {
+    import org.apache.spark.sql.graftx
+    // adversarial corpus: ASCII mixes, runs of dots/spaces, caps runs at
+    // edges, unicode (2- and 3-byte), empties — plus 500 random strings
+    val alphabet = "aA zZ09.!-éß中 ..AB Cd9"
+    val rnd = new scala.util.Random(7)
+    val strs = Seq(
+      "", " ", ".", "...", "A", "aA", "A.B.C.", ".leading", "trailing.",
+      "  sp  aces  ", "ÉCLAIR met Ångström.", "Ent0042 cites Ent0007",
+      "中文 Mixed ASCII", "K KELVINK sign", "ALL. CAPS. RUNS.") ++
+      (0 until 500).map(_ => (0 until rnd.nextInt(40))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = strs.toDF("s")
+    def arrEq(name: String, mine: org.apache.spark.sql.Column,
+              ref: org.apache.spark.sql.Column): Unit = {
+      val bad = df.select(col("s"), mine.as("m"), ref.as("r"))
+        .where(not(col("m") <=> col("r"))).collect()
+      assert(bad.isEmpty, s"$name diverges, e.g. ${bad.take(3).mkString("; ")}")
+    }
+    arrEq("normalize",
+      graftx.column(graftx.TextNormalize(graftx.expression(col("s")))),
+      trim(regexp_replace(lower(col("s")), "[^a-z0-9 ]", " ")))
+    arrEq("spaceTokens",
+      graftx.column(graftx.SpaceTokens(graftx.expression(col("s")))),
+      filter(split(col("s"), " +"), t => t =!= lit("")))
+    arrEq("splitByte",
+      graftx.column(graftx.SplitByte(graftx.expression(col("s")), '.'.toByte)),
+      split(col("s"), "\\."))
+    arrEq("capRuns",
+      graftx.column(graftx.CapRuns(graftx.expression(col("s")))),
+      expr("regexp_extract_all(s, '[A-Z][A-Za-z0-9]*', 0)"))
+    arrEq("capRunsToSpace",
+      graftx.column(graftx.CapRunsToSpace(graftx.expression(col("s")))),
+      regexp_replace(col("s"), "[A-Z][A-Za-z0-9]*", " "))
+  }
+
   test("codegen'd dot product equals builtin composition") {
     import graft.functions.VectorOps
     val df = (0 until 50).map { i =>
