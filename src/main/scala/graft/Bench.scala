@@ -327,6 +327,10 @@ object Bench {
       s"| FMA loops (FP, L1-resident, no shared state) | floating-point core scaling | ${"%.3f".format(fmaEff)} |\n" +
       s"| stream triad 8 threads | DRAM roof | ${"%.1f".format(stream8)} GB/s |\n" +
       s"| stream triad 32 threads | DRAM roof | ${"%.1f".format(stream32)} GB/s |\n\n" +
+      s"(A third wall was measured and designed out this round: java.util.regex\n" +
+      s"matching thread-scales at ~0.30 on this VM even allocation-free with\n" +
+      s"per-thread Patterns — the extraction stage now runs on hand-rolled\n" +
+      s"byte-scan codegen expressions, see graftx.TextKernels.)\n\n" +
       s"The PPR kernel is floating-point compute-bound (destination blocking\n" +
       s"keeps its DRAM demand far below the stream roof — see PprShard docs),\n" +
       s"so the FMA probe is the relevant ceiling: this VM's cores deliver only\n" +
