@@ -88,17 +88,12 @@ object Retriever {
       .select("qid", "chunk_id", "dpr")
   }
 
-  /** Full graph retrieval for a batch of queries.
-    * @return (qid, chunk_id, content, score, rank) — top `retrievalTopK`
-    *         passages per query by PPR score.
+  /** Seed-weight construction shared by [[retrieve]] and
+    * [[linkingScoreMap]]: W2 top-k facts → G2 phrase weights → W3 keep →
+    * DPR passage weights, one (qid, key, weight) frame.
     */
-  def retrieve(
-      store: GraphStore,
-      queries: Seq[(Long, String)],
-      cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
-    val spark = store.spark
-    val qdf = queryFrame(spark, queries).cache()
-
+  private def seedWeights(store: GraphStore, qdf: DataFrame,
+                          cfg: RetrieveConfig): DataFrame = {
     val triplesNow = store.triples.read()
     val chunkEnts = graft.extract.Extract.chunkEntities(triplesNow)
     // A4: df = |chunks containing the entity| (ent_node_to_chunk_ids).
@@ -142,7 +137,35 @@ object Retriever {
     val passageWeights = dpr.select(col("qid"), col("chunk_id").as("key"),
       (col("dpr") * cfg.passageNodeWeight).as("weight"))
 
-    val seedsByKey = keptPhrases.unionByName(passageWeights)
+    keptPhrases.unionByName(passageWeights)
+  }
+
+  /** W4 — the reference's linking-score telemetry (HippoRAG.py:1641-1642):
+    * per query, the seed weight map trimmed to its TOP 30 entries by score
+    * (the reference trims a text-keyed dict; ties here break to key asc —
+    * the reference's dict-order tie is nondeterministic).
+    * @return (qid, key, weight, rank ≤ 30)
+    */
+  def linkingScoreMap(store: GraphStore, queries: Seq[(Long, String)],
+                      cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
+    val qdf = queryFrame(store.spark, queries)
+    val w = Window.partitionBy("qid").orderBy(col("weight").desc, col("key").asc)
+    seedWeights(store, qdf, cfg)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 30)
+  }
+
+  /** Full graph retrieval for a batch of queries.
+    * @return (qid, chunk_id, content, score, rank) — top `retrievalTopK`
+    *         passages per query by PPR score.
+    */
+  def retrieve(
+      store: GraphStore,
+      queries: Seq[(Long, String)],
+      cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
+    val spark = store.spark
+    val qdf = queryFrame(spark, queries).cache()
+    val seedsByKey = seedWeights(store, qdf, cfg)
 
     // --- encode to vids, run multi-query PPR over the symmetrized graph.
     val verts = store.vertices.read()

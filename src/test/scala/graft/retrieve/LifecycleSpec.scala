@@ -143,6 +143,21 @@ class LifecycleSpec extends SparkSpec {
     assert(pairs.contains((mb, mbs)) || pairs.contains((mbs, mb)))
   }
 
+  test("linking score map is the seed weights trimmed to top 30 (W4)") {
+    val store = freshStore()
+    Indexer.index(store, docs.toDF("content"))
+    val m = Retriever.linkingScoreMap(store, Seq(0L -> "where is the Louvre"))
+      .collect()
+    assert(m.nonEmpty && m.length <= 30)
+    val ranks = m.map(_.getAs[Int]("rank")).sorted.toSeq
+    assert(ranks == (1 to m.length), "ranks must be dense 1..n")
+    val ws = m.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("weight")).toSeq
+    assert(ws == ws.sorted.reverse, "weights must be non-increasing by rank")
+    // phrase seeds (entity keys) and passage seeds both present
+    val keys = m.map(_.getAs[String]("key"))
+    assert(keys.exists(_.startsWith("entity-")) && keys.exists(_.startsWith("chunk-")))
+  }
+
   test("per-row invariant: text byte-identical per url through the pipeline") {
     val pages = graft.ingest.PageSynth.pagesDF(spark, 64)
     val chunks = Extract.chunks(pages, "text", Seq("url"))
