@@ -47,6 +47,40 @@ class PprSpec extends SparkSpec {
       }
 
       if (name == "smoke" && damping == 0.5) {
+        test("runFrame: 64 dense-seeded queries, multiple shards, == driver-seed path") {
+          // The serving shape the distributed path exists for: every query
+          // seeds EVERY vertex (the Retriever's dense passage weights) —
+          // the seed frame is Q×V rows and must never be driver-collected.
+          val csr = graft.bench.KernelProbe.synthCsr(512, 24, seed = 9L)
+          val runner = new PprShard.Runner(spark, csr, batchSize = 64)
+          val cfg = PprConfig(damping = 0.5, tol = 1e-10)
+          val nQ = 64
+          val seedSeq = (0L until nQ.toLong).map(q =>
+            q -> (0 until csr.nV).map(v => (v.toLong, 1.0 + ((v * 31 + q * 7) % 13))))
+          val seedRows = seedSeq.flatMap { case (q, vw) => vw.map { case (v, w) => (q, v, w) } }
+          val (a, _) = runner.run(seedSeq, cfg, numShards = 1)
+          val (b, statsB) = runner.runFrame(seedRows.toDF("qid", "vid", "weight"),
+            cfg, numShards = 1)
+          assert(statsB.converged)
+          for (q <- 0L until nQ.toLong) {
+            val ga = denseScores(a, q, csr.nV)
+            val gb = denseScores(b, q, csr.nV)
+            assert(ga.sameElements(gb), s"qid=$q dense-seed runFrame != run")
+          }
+          a.unpersist(); b.unpersist()
+          // and with several shards the fixpoint is the same to ~machine eps
+          val (c, _) = runner.runFrame(seedRows.toDF("qid", "vid", "weight"),
+            cfg, numShards = 8)
+          for (q <- 0L until nQ.toLong) {
+            val ga = denseScores(a, q, csr.nV)
+            val gc = denseScores(c, q, csr.nV)
+            val maxDiff = ga.zip(gc).map { case (x, y) => math.abs(x - y) }.max
+            assert(maxDiff < 1e-9, s"qid=$q sharded maxDiff=$maxDiff")
+          }
+          c.unpersist()
+          runner.close()
+        }
+
         test("query-sharded runFrame (distributed seed frame) == run (driver seeds)") {
           // Single shard + one batch covering all queries: identical batch
           // membership on both paths, so scores must be BITWISE equal —
