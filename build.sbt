@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench's one-line JSON from stdout; without this,
+// sbt re-logs the forked process's stdout as "[info] {...}" and the parse
+// fails (BENCH_r01/r02 both recorded parsed:null). StdoutOutput pipes the
+// forked JVM's stdout/stderr straight through, unprefixed.
+ThisBuild / outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
