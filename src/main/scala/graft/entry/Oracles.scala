@@ -232,9 +232,15 @@ dsh AS (
       |ev AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
       |dots AS (SELECT e.vec_id, p.t, p.j, sum(CAST(e.x AS DOUBLE) * p.w) AS d
       |         FROM ev e JOIN pl p ON p.i = e.i GROUP BY e.vec_id, p.t, p.j),
-      |buckets AS (SELECT vec_id, t,
+      |buckets0 AS (SELECT vec_id, t,
       |              sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END) AS bucket
       |            FROM dots GROUP BY vec_id, t),
+      |-- hot-bucket cap (mirrors Ann.capBuckets maxBucket=1024): a
+      |-- (table, bucket) group past the cap is dropped before the self-join
+      |buckets AS (SELECT b.* FROM buckets0 b
+      |            JOIN (SELECT t, bucket FROM buckets0 GROUP BY t, bucket
+      |                  HAVING count(*) <= 1024) ok
+      |              ON ok.t = b.t AND ok.bucket = b.bucket),
       |cand AS (SELECT DISTINCT l.vec_id AS qid, r.vec_id AS kid
       |         FROM buckets l JOIN buckets r ON r.t = l.t AND r.bucket = l.bucket AND l.vec_id <> r.vec_id),
       |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv FROM ev GROUP BY vec_id),

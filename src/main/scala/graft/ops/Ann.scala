@@ -18,6 +18,20 @@ import graft.retrieve.Knn
   */
 object Ann {
 
+  /** Plane count that keeps EXPECTED bucket size near `targetBucket` as
+    * the table grows: 2^planes buckets over n vectors → planes =
+    * ⌈log₂(n / targetBucket)⌉, floored at `minPlanes` and capped at 24
+    * (beyond that the per-vector hashing cost grows with no candidate-set
+    * payoff at any realistic bucket target). Callers pass the CURRENT
+    * table size so a 100× bigger corpus gets ~log₂(100) more planes
+    * instead of 100× hotter buckets.
+    */
+  def planesFor(n: Long, minPlanes: Int, targetBucket: Int = 64): Int = {
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+      / math.log(2.0)).toInt
+    math.min(24, math.max(minPlanes, needed))
+  }
+
   /** Exact cosine top-k (general vectors: normalizes by both norms). */
   def bruteForceTopK(queries: DataFrame, keys: DataFrame, k: Int,
                      excludeSelf: Boolean = true): DataFrame =
@@ -49,7 +63,7 @@ object Ann {
     * quadratic. Trades recall inside dropped buckets for a hard bound of
     * maxBucket·|rows| on the join output.
     */
-  private def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame =
+  private[ops] def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bucketed
     else {
       val sizes = bucketed.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))

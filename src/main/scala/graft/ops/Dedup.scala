@@ -17,6 +17,19 @@ import graft.core.TextOps
   */
 object Dedup {
 
+  /** Eager persist that SKIPS frames whose plan is already cached (e.g. a
+    * caller-memoized shingle table fed straight in): re-persisting an
+    * equivalent plan is a no-op that still walks the cache manager and
+    * logs "Asked to cache already cached data" on every call.
+    */
+  private def eagerPersist(df: DataFrame): DataFrame =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+    else {
+      val d = df.persist()
+      d.count() // eager: parallel branch stages must hit the cache, not the DAG
+      d
+    }
+
   /** Exact dedup by content hash: one keeper (min key) per text group.
     * @return (text_hash, keeper, dup_count)
     */
@@ -70,15 +83,14 @@ object Dedup {
     */
   def minHashCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     // Persisted: the band table sits on BOTH sides of the bucket self-join;
-    // without the cache the signature pipeline (16 md5 passes) runs twice.
+    // without the cache the signature pipeline runs twice.
     val banded0 = sigs.select(col("key"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
             md5(concat_ws("|", (0 until rowsPerBand).map(r =>
               element_at(col("sig"), b * rowsPerBand + r + 1)): _*)).as("bh"))): _*)).as("bb"))
       .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val banded = banded0.persist()
-    banded.count() // eager: both join sides hit the cache, never the DAG
+    val banded = eagerPersist(banded0)
     val l = banded.select(col("band"), col("bh"), col("key").as("a"))
     val r = banded.select(col("band"), col("bh"), col("key").as("b"))
     l.join(r, Seq("band", "bh"))
@@ -118,6 +130,11 @@ object Dedup {
     * theta join remain (nothing can prune a predicate that's always true).
     */
   def simHashPairs(sims: DataFrame, maxHamming: Int): DataFrame = {
+    // hamming >= 0 always: a negative bound admits nothing (and would
+    // otherwise divide by zero in the band layout below).
+    if (maxHamming < 0)
+      return sims.select(col("key").as("a"), col("key").as("b"),
+        lit(0).cast("integer").as("hamming")).where(lit(false))
     val l0 = sims.select(col("key").as("a"), col("simhash").as("ha"))
     val r0 = sims.select(col("key").as("b"), col("simhash").as("hb"))
     if (maxHamming >= 32)
@@ -176,8 +193,7 @@ object Dedup {
     // The shingle table feeds the sizes aggregate and BOTH sides of the
     // self-join. Materialized EAGERLY: a lazy cache inside one action lets
     // the parallel branch stages race and recompute the chain 4x.
-    val sh = shUncached.persist()
-    sh.count()
+    val sh = eagerPersist(shUncached)
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     val l = sh.select(col("sh"), col("key").as("a"))
     val r = sh.select(col("sh"), col("key").as("b"))

@@ -47,7 +47,17 @@ class GraphStore(
     StructField("hash_id", StringType), StructField("content", StringType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
-  def currentChunks: DataFrame = chunks.readOrEmpty(chunkSchema)
+  /** Current chunk snapshot, upgraded in place to [[chunkSchema]]: stores
+    * committed before the S7 metadata column existed hold only
+    * (chunk_id, content) — pad those with an empty map so incremental
+    * indexing over an upgraded store unions cleanly instead of throwing.
+    */
+  def currentChunks: DataFrame = {
+    val df = chunks.readOrEmpty(chunkSchema)
+    if (df.columns.contains("metadata")) df
+    else df.withColumn("metadata",
+      map().cast(MapType(StringType, StringType)))
+  }
   def currentTriples: DataFrame = triples.readOrEmpty(tripleSchema)
 
   /** Idempotent embedding upsert (reference embedding_store.py:100-134:

@@ -38,8 +38,17 @@ object Indexer {
       // (graft.ops.Ann.lshTopKJoin) — approximate by design, same τ/cap
       // semantics on the candidates it finds.
       exactMaxEntities: Long = 65536L,
+      // Floor for the plane count — the actual count scales with the
+      // entity-table size ([[graft.ops.Ann.planesFor]]) so buckets keep a
+      // bounded expected size as the corpus grows.
       lshPlanes: Int = 12,
-      lshTables: Int = 6)
+      lshTables: Int = 6,
+      // Hard bound on (table, bucket) group size in the LSH candidate
+      // join: ONE degenerate hot bucket (near-zero vectors, boilerplate
+      // phrases) otherwise turns the self-join quadratic at web scale.
+      // Trades recall inside dropped buckets for a maxBucket·|rows| bound
+      // on candidate rows.
+      lshMaxBucket: Int = 1024)
 
   case class IndexStats(totalChunks: Long, entities: Long, edges: Long, vertices: Long)
 
@@ -193,22 +202,31 @@ object Indexer {
     * (dict assignment — symmetrization happens at algorithm time).
     */
   def synonymyEdges(entityEmb: DataFrame, syn: SynonymyConfig): DataFrame = {
+    require(syn.cap <= syn.topK,
+      s"synonymy cap (${syn.cap}) must be <= KNN topK (${syn.topK}): the " +
+      "cap is taken over the per-query topK candidate list")
     val queries = validQueries(entityEmb)
     val keys = validKeys(entityEmb)
     // Exact brute-force KNN broadcasts ALL query embeddings — O(E·dim)
     // memory, O(E²) dots. Correct and fastest below the gate; above it,
-    // the LSH candidate join keeps the job linear-ish in E.
+    // the LSH candidate join keeps the job linear-ish in E: planes scale
+    // with log₂(E) (bounded expected bucket size) and hot buckets are
+    // dropped at lshMaxBucket (bounded worst-case candidate rows).
+    val nQ = queries.count()
     val knn =
-      if (queries.count() <= syn.exactMaxEntities)
+      if (nQ <= syn.exactMaxEntities)
         Knn.topK(queries, keys, syn.topK, excludeSelf = true)
       else
         graft.ops.Ann.lshTopKJoin(queries, keys, syn.topK,
-          nPlanes = syn.lshPlanes, dim = graft.extract.Embeddings.Dim,
-          tables = syn.lshTables, excludeSelf = true)
+          nPlanes = graft.ops.Ann.planesFor(nQ, syn.lshPlanes),
+          dim = graft.extract.Embeddings.Dim,
+          tables = syn.lshTables, excludeSelf = true,
+          maxBucket = syn.lshMaxBucket)
     capAccepted(knn.where(col("score") >= syn.threshold), syn)
   }
 
-  /** I2 synonymy delta, end-state-identical to a full KNN rebuild:
+  /** I2 synonymy delta. In the EXACT regime (≤ exactMaxEntities) the end
+    * state is IDENTICAL to a full KNN rebuild:
     *
     *  - NEW queries score against ALL keys (the reference's "find the KNN
     *    for the new nodes", HippoRAG.py:985);
@@ -216,18 +234,38 @@ object Indexer {
     *    stored top-cap lists this reproduces the full top-cap exactly,
     *    because anything the full rebuild would keep is either already in
     *    the stored cap list or involves a new key.
+    *
+    * Above the gate the new-query side routes through the SAME LSH
+    * candidate join as [[synonymyEdges]] (same tables/planes rule), and
+    * the old×new side stays exact (the Δ key side is small — O(|old|·|Δ|)
+    * dots with the Δ side broadcast). Because exact scoring of candidates
+    * only ever ADDS true τ-accepted pairs, the delta end state is a
+    * recall-SUPERSET of a from-scratch LSH rebuild — identical up to
+    * pairs the rebuild's bucketing would have missed; bitwise identity is
+    * only guaranteed in the exact regime.
     */
   private[retrieve] def deltaSynonymy(storedSyn: DataFrame, entityEmb: DataFrame,
                                       newEntityIds: DataFrame,
                                       syn: SynonymyConfig): DataFrame = {
+    require(syn.cap <= syn.topK,
+      s"synonymy cap (${syn.cap}) must be <= KNN topK (${syn.topK})")
     val queries = validQueries(entityEmb)
     val keys = validKeys(entityEmb)
     val newQueries = queries.join(newEntityIds.select(col("hash_id").as("qid")), Seq("qid"), "left_semi")
     val oldQueries = queries.join(newEntityIds.select(col("hash_id").as("qid")), Seq("qid"), "left_anti")
     val newKeys = keys.join(newEntityIds.select(col("hash_id").as("kid")), Seq("kid"), "left_semi")
 
-    val newVsAll = Knn.topK(newQueries, keys, syn.topK, excludeSelf = true)
-      .where(col("score") >= syn.threshold)
+    val nQ = queries.count()
+    val newVsAll =
+      (if (nQ <= syn.exactMaxEntities)
+         Knn.topK(newQueries, keys, syn.topK, excludeSelf = true)
+       else
+         graft.ops.Ann.lshTopKJoin(newQueries, keys, syn.topK,
+           nPlanes = graft.ops.Ann.planesFor(nQ, syn.lshPlanes),
+           dim = graft.extract.Embeddings.Dim,
+           tables = syn.lshTables, excludeSelf = true,
+           maxBucket = syn.lshMaxBucket))
+        .where(col("score") >= syn.threshold)
     // keys side is the small (Δ) side → broadcast it, scan the queries
     val oldVsNew = Knn.topK(oldQueries, newKeys, syn.topK, excludeSelf = true,
         broadcastKeys = true)

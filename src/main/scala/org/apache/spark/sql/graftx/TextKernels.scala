@@ -22,10 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unicode note: `normalize` mirrors `lower → replace [^a-z0-9 ] with ' '
   * → trim`. Non-ASCII codepoints lowercase via Character.toLowerCase; a
   * codepoint whose lowercase is outside [a-z0-9] becomes ONE space (the
-  * regex, running after String.lower, does the same for every such char —
-  * the only divergence is locale-style multi-char lowerings like U+0130,
-  * which expand under String.toLowerCase; they cannot appear in the
-  * corpora this engine targets and are documented here).
+  * regex, running after String.lower, does the same for every such char).
+  * The ONE root-locale lowercase mapping that EXPANDS (SpecialCasing.txt:
+  * U+0130 → "i" + combining dot U+0307; the builtin then spaces the
+  * combining dot) is replicated explicitly, so the kernel is byte-equal to
+  * the builtin chain for every codepoint (property-tested incl. U+0130).
   */
 object TextKernels {
 
@@ -60,12 +61,20 @@ object TextKernels {
           else if ((b & 0xF8) == 0xF0) 4
           else 1
         val cpStr = UTF8String.fromBytes(in, i, math.min(len, n - i)).toString
-        val lc = if (cpStr.isEmpty) ' '.toInt
-          else Character.toLowerCase(cpStr.codePointAt(0))
-        out(o) =
-          if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) lc.toByte
-          else ' '
-        o += 1
+        val cp = if (cpStr.isEmpty) ' '.toInt else cpStr.codePointAt(0)
+        if (cp == 0x130) {
+          // U+0130 lowers to "i" + U+0307 under String.toLowerCase; the
+          // combining dot is outside [a-z0-9 ] so the regex spaces it —
+          // two output bytes (input was two bytes, so `out` still fits).
+          out(o) = 'i'; out(o + 1) = ' '
+          o += 2
+        } else {
+          val lc = Character.toLowerCase(cp)
+          out(o) =
+            if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9')) lc.toByte
+            else ' '
+          o += 1
+        }
         i += math.min(len, n - i)
       }
     }

@@ -62,7 +62,10 @@ class CoreSpec extends SparkSpec {
     val strs = Seq(
       "", " ", ".", "...", "A", "aA", "A.B.C.", ".leading", "trailing.",
       "  sp  aces  ", "ÉCLAIR met Ångström.", "Ent0042 cites Ent0007",
-      "中文 Mixed ASCII", "K KELVINK sign", "ALL. CAPS. RUNS.") ++
+      "中文 Mixed ASCII", "K KELVINK sign", "ALL. CAPS. RUNS.",
+      // U+0130: the one root-locale lowercase that EXPANDS (-> i + U+0307),
+      // shifting token boundaries under the builtin chain
+      "İ", "İstanbul", "aİb cİ", "İİ", "Xİ9") ++
       (0 until 500).map(_ => (0 until rnd.nextInt(40))
         .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
     val df = strs.toDF("s")

@@ -72,6 +72,60 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.5, s"LSH recall too low: $recall")
   }
 
+  test("simHashPairs with a negative bound returns empty, same schema") {
+    val sims = Dedup.simHash(docs, "text", "doc_id")
+    val out = Dedup.simHashPairs(sims, maxHamming = -1)
+    assert(out.columns.toSeq == Seq("a", "b", "hamming"))
+    assert(out.count() == 0)
+  }
+
+  test("capBuckets drops (table, bucket) groups past the cap, keeps the rest") {
+    val bucketed = Seq(
+      (0, 10L, "a"), (0, 10L, "b"), (0, 10L, "c"), // hot: size 3
+      (0, 11L, "d"), (0, 11L, "e"),                // ok: size 2
+      (1, 10L, "f")                                // ok: size 1 (same bucket id, other table)
+    ).toDF("tbl", "bucket", "id")
+    val capped = Ann.capBuckets(bucketed, maxBucket = 2)
+      .select("id").as[String].collect().toSet
+    assert(capped == Set("d", "e", "f"))
+    // cap <= 0 means uncapped
+    assert(Ann.capBuckets(bucketed, 0).count() == 6)
+  }
+
+  test("ANN hot-bucket cap: degenerate bucket is excluded, tight pairs survive") {
+    // 40 near-identical vectors = one hot bucket per table; plus two tight
+    // pairs far from the hot cluster. Everything is hash-seeded, so the
+    // outcome is deterministic.
+    def jig(center: String, i: Int): Array[Float] = {
+      val c = Embeddings.hashUnit(center, 32)
+      val j = Embeddings.hashUnit(s"j$i", 32)
+      c.zip(j).map { case (a, b) => a + 0.01f * b }
+    }
+    val vecs = ((0 until 40).map(i => (s"h$i", jig("hot", i))) ++
+        Seq(("a0", jig("ca", 100)), ("a1", jig("ca", 101)),
+            ("b0", jig("cb", 102)), ("b1", jig("cb", 103))))
+      .toDF("id", "v")
+    val got = Ann.lshTopK(vecs, "id", "v", k = 3, nPlanes = 6, dim = 32,
+        tables = 4, maxBucket = 8)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    assert(got.contains(("a0", "a1")) && got.contains(("b0", "b1")),
+      s"small-bucket neighbors must survive the cap: $got")
+    assert(!got.exists { case (q, k) => q.startsWith("h") && k.startsWith("h") },
+      "the degenerate bucket's quadratic pairs must be excluded")
+    // uncapped: the hot pairs come back
+    val uncapped = Ann.lshTopK(vecs, "id", "v", k = 3, nPlanes = 6, dim = 32,
+        tables = 4, maxBucket = 0)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    assert(uncapped.exists { case (q, k) => q.startsWith("h") && k.startsWith("h") })
+  }
+
+  test("planesFor scales with log2(n) above the floor, capped at 24") {
+    assert(Ann.planesFor(1000L, 12) == 12)           // floor wins
+    assert(Ann.planesFor(1000000L, 12) == 14)        // ceil(log2(1e6/64))
+    assert(Ann.planesFor(1L << 40, 12) == 24)        // hard cap
+    assert(Ann.planesFor(0L, 8) == 8)
+  }
+
   test("TopKAgg equals window-based top-k") {
     val data = (0 until 500).map(i => (s"q${i % 5}", s"k$i", (i * 37 % 101).toDouble))
       .toDF("qid", "kid", "score")

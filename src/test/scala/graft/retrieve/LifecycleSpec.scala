@@ -125,6 +125,18 @@ class LifecycleSpec extends SparkSpec {
     assert(m == Map("lang" -> "en", "source" -> "crawl"))
   }
 
+  test("indexing into a pre-metadata chunk store pads the old snapshot instead of throwing") {
+    val store = freshStore()
+    Indexer.index(store, docs.toDF("content"))
+    // Simulate a store whose chunks table was committed before the S7
+    // metadata column existed: only (chunk_id, content).
+    store.chunks.commit(store.chunks.read().select("chunk_id", "content"), "downgrade")
+    val stats = Indexer.index(store, extraDocs.toDF("content"))
+    assert(stats.totalChunks == 7L)
+    assert(store.chunks.read().columns.contains("metadata"),
+      "upgraded store must carry the padded metadata column forward")
+  }
+
   test("synonymy above the exact-KNN gate plans an LSH equi-join, not a nested-loop join") {
     val emb = Seq("montebello", "montebellos", "alphaville", "alphavilles")
       .map(s => (graft.core.Ids.mdhashStr(graft.core.Ids.EntityNs, s), s,
