@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{PprConfig, PprShard}
+import graft.algo.{PprConfig, PprShard, PprStats}
 import graft.bench.{FmaProbe, StreamProbe}
 import graft.graph.Adjacency
 
@@ -44,6 +44,10 @@ object Bench {
     val s = xs.sorted
     s(s.length / 2)
   }
+
+  /** Relative spread (max − min) / median of a rep series. */
+  private def spread(xs: Seq[Double]): Double =
+    if (xs.isEmpty) 0.0 else (xs.max - xs.min) / median(xs)
 
   /** Integer-ALU strong-scaling ceiling: pure-JVM md5 burn, no Spark. */
   private def md5Ceiling(): (Double, Double, Double) = {
@@ -130,12 +134,12 @@ object Bench {
       nV: Long, nE: Long, iters: Long,
       edgesPerSec: Double, itersPerSec: Double, queriesPerSec: Double)
 
-  /** One scaling-level measurement (see object doc). PPR phase = median
-    * of `reps`; build measured once per level (deterministic, IO-bound
-    * tail).
+  /** Phases A+B of a scaling level: end-to-end build from the input_hint
+    * pages shape, then dictionary+encode+CSR over the big arc table.
+    * Returns (buildWall, graphWall, scaling CSR, nV).
     */
-  private def runLevel(spark: SparkSession, dir: String, nQueries: Int,
-                       reps: Int, batchSize: Int): LevelResult = {
+  private def runBuildPhases(spark: SparkSession, dir: String)
+      : (Double, Double, PprShard.LocalCsr, Long) = {
     import graft.extract.Extract
     import graft.graph.GraphBuild
 
@@ -180,15 +184,23 @@ object Bench {
     sym.unpersist(false)
     val graphWall = (System.nanoTime() - tg0) / 1e9
     lap(s"scaling graph: ${nV} v, ${csr.nEdges} arcs", tg0)
+    (buildWall, graphWall, csr, nV)
+  }
 
-    // ---- phase C: the PPR sweep (query-sharded batched kernel).
+  /** One PPR block: fresh broadcast + one untimed warmup run, then `reps`
+    * timed runs of the query-sharded batched kernel. The CSR is a plain
+    * driver-side structure, so interleaved 8/32-core blocks reuse ONE
+    * instance across sessions (identical kernel input at every block).
+    */
+  private def runPprBlock(spark: SparkSession, csr: PprShard.LocalCsr, nV: Long,
+                          nQueries: Int, reps: Int, batchSize: Int)
+      : (Seq[Double], PprStats) = {
     val seeds = (0L until nQueries.toLong).map(q => q -> Seq(((q * 31 + 1) % nV, 1.0)))
     val cfg = PprConfig(damping = 0.5, tol = 1e-6 / nV)
     // one task per full batch: coarse enough to amortize scheduling, and
     // both levels run the IDENTICAL task breakdown
     val shards = math.max(1, (nQueries + batchSize - 1) / batchSize)
     val runner = new PprShard.Runner(spark, csr, batchSize = batchSize)
-    // One untimed warmup run (JIT + broadcast), then `reps` timed runs.
     runner.run(seeds.take(256), cfg, numShards = 8, topK = 50)._1.unpersist()
     val runs = (1 to reps).map { _ =>
       val ((scores, stats), wall) = timed(
@@ -197,15 +209,7 @@ object Bench {
       (stats, wall)
     }
     runner.close()
-    val pprWall = median(runs.map(_._2))
-    val stats = runs.head._1
-    LevelResult(
-      buildWall = buildWall, graphWall = graphWall,
-      pprWall = pprWall, pprWalls = runs.map(_._2),
-      nV = nV, nE = csr.nEdges, iters = stats.iterations.toLong,
-      edgesPerSec = stats.traversedEdges / pprWall,
-      itersPerSec = stats.iterations / pprWall,
-      queriesPerSec = nQueries / pprWall)
+    (runs.map(_._2), runs.head._1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -216,7 +220,7 @@ object Bench {
     val scaleNv = sys.env.getOrElse("GRAFT_BENCH_NV", "65536").toInt
     val scaleSamples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "6500000").toLong
     val scaleQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "2048").toInt
-    val scaleReps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
+    val scaleReps = sys.env.getOrElse("GRAFT_BENCH_REPS", "9").toInt
     val scaleBatch = sys.env.getOrElse("GRAFT_BENCH_BATCH", "32").toInt
     val skipHeadline = sys.env.get("GRAFT_BENCH_SKIP_HEADLINE").contains("1")
 
@@ -228,15 +232,24 @@ object Bench {
     val spark1 = session(cpus, cpus)
     val qTimes: Seq[(String, Double)] =
       if (skipHeadline) Seq.empty
-      else headline.map { name =>
-        val (_, t) = timed {
-          try SparkEntry.queries(name)(spark1, sfDir).write.mode("overwrite")
-            .format("noop").save()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); ()
+      else {
+        // Shared memo caches (shingles, triples, entity arcs) are built
+        // OUTSIDE the per-query timers and reported as their own line:
+        // round 2 charged the whole shingle-cache build to q15 (its first
+        // consumer), which read as a 2.7× q15 "regression" while the
+        // suite total improved.
+        val (_, tCache) = timed(
+          graft.entry.DocQueries.warmSharedCaches(spark1, sfDir))
+        ("cache_build" -> tCache) +: headline.map { name =>
+          val (_, t) = timed {
+            try SparkEntry.queries(name)(spark1, sfDir).write.mode("overwrite")
+              .format("noop").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); ()
+            }
           }
+          name -> t
         }
-        name -> t
       }
 
     // ---- Part 2: scaling protocol — same jobs, same inputs, two levels.
@@ -246,15 +259,53 @@ object Bench {
     System.err.println(s"[bench] scaling arc table: $nArcsRaw directed arcs")
     spark1.stop()
 
-    val results = Seq(8, 32).map { cores =>
+    // INTERLEAVED block schedule (round-2 ask #7): the 8-thread side of
+    // this shared-cloud VM swings ±30% run-to-run (turbo/steal), and a
+    // sequential all-8-then-all-32 layout aliases that drift straight
+    // into the efficiency ratio. Blocks alternate 8/32 so both levels
+    // sample the same machine weather; ≥9 reps per level, median + spread
+    // reported. Build phases run once per level (first block); the
+    // scaling CSR is a driver-side structure built from IDENTICAL input
+    // files, so later blocks reuse one instance (kernel input identical
+    // at every block — only the session's core count changes).
+    val blocksPerLevel = 3
+    val repsPerBlock = math.max(1, (scaleReps + blocksPerLevel - 1) / blocksPerLevel)
+    val build = scala.collection.mutable.Map.empty[Int, (Double, Double)]
+    val pprReps = scala.collection.mutable.Map(8 -> Seq.empty[Double], 32 -> Seq.empty[Double])
+    var csrShared: PprShard.LocalCsr = null
+    var nVShared = 0L
+    var statsShared: PprStats = null
+    for (block <- 0 until blocksPerLevel; cores <- Seq(8, 32)) {
       val s = session(cores, cores)
-      val r = runLevel(s, scaleDir, scaleQueries, reps = scaleReps,
-        batchSize = scaleBatch)
+      if (block == 0) {
+        val (bw, gw, csr, nV) = runBuildPhases(s, scaleDir)
+        build(cores) = (bw, gw)
+        if (csrShared == null) { csrShared = csr; nVShared = nV }
+        else require(csr.nEdges == csrShared.nEdges && nV == nVShared,
+          "scaling graph must be identical at both levels")
+      }
+      val (walls, stats) = runPprBlock(s, csrShared, nVShared, scaleQueries,
+        repsPerBlock, scaleBatch)
+      if (statsShared == null) statsShared = stats
+      pprReps(cores) = pprReps(cores) ++ walls
+      System.err.println(f"[bench] block $block local[$cores] ppr reps: " +
+        walls.map("%.2f".format(_)).mkString(" "))
       s.stop()
-      cores -> r
-    }.toMap
-    val r8 = results(8)
-    val r32 = results(32)
+    }
+    def level(cores: Int): LevelResult = {
+      val (bw, gw) = build(cores)
+      val walls = pprReps(cores)
+      val m = median(walls)
+      LevelResult(
+        buildWall = bw, graphWall = gw, pprWall = m, pprWalls = walls,
+        nV = nVShared, nE = csrShared.nEdges,
+        iters = statsShared.iterations.toLong,
+        edgesPerSec = statsShared.traversedEdges / m,
+        itersPerSec = statsShared.iterations / m,
+        queriesPerSec = scaleQueries / m)
+    }
+    val r8 = level(8)
+    val r32 = level(32)
     val effPpr = (r32.queriesPerSec / r8.queriesPerSec) / 4.0
     val effBuild = (r8.buildWall / r32.buildWall) / 4.0
     val effTotal = ((r8.buildWall + r8.graphWall + r8.pprWall) /
@@ -283,6 +334,8 @@ object Bench {
       s""""local8":${levelJson(r8)},"local32":${levelJson(r32)},""" +
       s""""efficiency_ppr":${"%.3f".format(effPpr)},"efficiency_build":${"%.3f".format(effBuild)},""" +
       s""""efficiency_total":${"%.3f".format(effTotal)},""" +
+      s""""ppr_spread_8":${"%.3f".format(spread(r8.pprWalls))},""" +
+      s""""ppr_spread_32":${"%.3f".format(spread(r32.pprWalls))},""" +
       s""""hw_ceiling_8to32":${"%.3f".format(md5Eff)},""" +
       s""""fma_ceiling_8to32":${"%.3f".format(fmaEff)},""" +
       s""""stream_gbps_8":${"%.1f".format(stream8)},"stream_gbps_32":${"%.1f".format(stream32)},""" +
@@ -311,14 +364,16 @@ object Bench {
       s"encoded arcs -> CSR; (b) GRAPH = dictionary+encode+CSR over the edge\n" +
       s"table; (c) PPR = $scaleQueries per-query PPRs to 1e-6 L1, query-sharded\n" +
       s"batched kernel (B=$scaleBatch, destination-blocked; the serving shape of the\n" +
-      s"reference's per-query run_ppr, HippoRAG.py:1736). PPR = median of\n" +
-      s"$scaleReps runs (all reps shown). No real cluster exists in this sandbox:\n" +
-      s"two local parallelism levels over the same persisted input are the\n" +
-      s"documented N->4N proxy.\n\n" +
-      "| level | build sec | graph sec | PPR sec (median) | PPR reps | iters/sec | edges/sec | queries/sec |\n" +
-      "|---|---|---|---|---|---|---|---|\n" +
-      s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.graphWall)} | ${"%.2f".format(r8.pprWall)} | ${reps(r8)} | ${"%.1f".format(r8.itersPerSec)} | ${"%.2e".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +
-      s"| local[32] | ${"%.2f".format(r32.buildWall)} | ${"%.2f".format(r32.graphWall)} | ${"%.2f".format(r32.pprWall)} | ${reps(r32)} | ${"%.1f".format(r32.itersPerSec)} | ${"%.2e".format(r32.edgesPerSec)} | ${"%.1f".format(r32.queriesPerSec)} |\n\n" +
+      s"reference's per-query run_ppr, HippoRAG.py:1736). PPR reps run in\n" +
+      s"INTERLEAVED 8/32 blocks (A/B/A/B...) so the shared-cloud turbo/steal\n" +
+      s"drift hits both levels alike; median of ${r8.pprWalls.length} reps per level, all reps\n" +
+      s"and the (max-min)/median spread shown. No real cluster exists in this\n" +
+      s"sandbox: two local parallelism levels over the same persisted input\n" +
+      s"are the documented N->4N proxy.\n\n" +
+      "| level | build sec | graph sec | PPR sec (median) | PPR reps | spread | iters/sec | edges/sec | queries/sec |\n" +
+      "|---|---|---|---|---|---|---|---|---|\n" +
+      s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.graphWall)} | ${"%.2f".format(r8.pprWall)} | ${reps(r8)} | ${"%.0f%%".format(100 * spread(r8.pprWalls))} | ${"%.1f".format(r8.itersPerSec)} | ${"%.2e".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +
+      s"| local[32] | ${"%.2f".format(r32.buildWall)} | ${"%.2f".format(r32.graphWall)} | ${"%.2f".format(r32.pprWall)} | ${reps(r32)} | ${"%.0f%%".format(100 * spread(r32.pprWalls))} | ${"%.1f".format(r32.itersPerSec)} | ${"%.2e".format(r32.edgesPerSec)} | ${"%.1f".format(r32.queriesPerSec)} |\n\n" +
       s"**Scaling efficiency (8->32 cores): PPR ${"%.3f".format(effPpr)}, " +
       s"build ${"%.3f".format(effBuild)}, whole job ${"%.3f".format(effTotal)}**\n\n" +
       s"## Hardware ceilings measured in the same run\n\n" +

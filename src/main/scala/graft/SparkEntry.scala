@@ -67,6 +67,7 @@ object SparkEntry {
     "q26_degrees" -> (Q.qDegrees _),
     "q27_ppr" -> (Q.qPpr _),
     "q27b_lpa" -> (Q.qLpa _),
+    "q27c_ppr_fixed" -> (Q.qPprFixed _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),
@@ -75,9 +76,11 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Iterative fixpoints (q27_ppr, q27b_lpa) are
-    * intentionally absent → driver records a rows-only check; their
-    * numeric correctness is pinned by networkx goldens in `sbt test`.
+    * the same parquet tables. The one tol-CONVERGED fixpoint (q27_ppr) is
+    * intentionally absent → driver records a rows-only check there; its
+    * numeric correctness is pinned by networkx goldens in `sbt test`, and
+    * the PPR update rule itself is value-checked by the q27c fixed-sweep
+    * oracle (recursive CTE).
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,6 +1,6 @@
 package graft.algo
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.graph.AdjBlock
 
@@ -25,6 +25,20 @@ import graft.graph.AdjBlock
   * shuffle path when V·(Q+2) doubles stop fitting comfortably in memory.
   */
 object PprCsr {
+
+  /** Dense per-query score arrays → a sparse (qid, vid, score) frame.
+    * The nonzero explode runs on EXECUTORS (one partition per query): the
+    * driver holds only the Q dense double arrays it already owns from
+    * [[run]], never a Q×V tuple collection.
+    */
+  def toFrame(spark: SparkSession, scores: Seq[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.parallelize(scores, math.max(1, scores.length))
+      .flatMap { case (q, xs) =>
+        xs.iterator.zipWithIndex.collect { case (x, v) if x != 0.0 => (q, v.toLong, x) }
+      }
+      .toDF("qid", "vid", "score")
+  }
 
   /** @param seeds per query: (qid, sparse seed pairs (vid, weight)).
     * @return (per-query dense score arrays indexed by vid, stats)

@@ -93,6 +93,14 @@ dsh AS (
       s"($t, $j, [${v.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
     }).mkString(",\n")
 
+  /** q15's MinHash mixing constants, inlined from the SAME generator the
+    * Spark side uses ([[graft.ops.Dedup.mixConsts]]) so both engines run
+    * the identical (aᵢ·h1 + bᵢ·h2 + cᵢ) mod P arithmetic.
+    */
+  private val minHashMixValues: String =
+    graft.ops.Dedup.mixConsts(16).zipWithIndex
+      .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }.mkString(", ")
+
   private val enStop = graft.ops.TextMetrics.enStop.map(s => s"'$s'").mkString(", ")
   private val deStop = graft.ops.TextMetrics.deStop.map(s => s"'$s'").mkString(", ")
   private val frStop = graft.ops.TextMetrics.frStop.map(s => s"'$s'").mkString(", ")
@@ -166,18 +174,26 @@ dsh AS (
       """SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS dup_count
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin),
 
+    // q15 — universal-hash MinHash: ONE md5 per shingle split into 32-bit
+    // halves, then 16 (a·h1 + b·h2 + c) mod P slots (constants inlined
+    // from graft.ops.Dedup.mixConsts — identical literals on both
+    // engines). 20-bit × 32-bit products stay ≤ 2^52: DuckDB's
+    // overflow-checked BIGINT multiply never trips.
     "q15_minhash_lsh" -> q(
-      """SELECT a, b, count(*) AS shared_bands FROM (
+      s""", mixc(i, ma, mb, mc) AS (VALUES $minHashMixValues),
+        |mhh AS (SELECT doc_id,
+        |               CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h1,
+        |               CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) AS h2
+        |        FROM dsh),
+        |mins AS (SELECT doc_id, i, min((ma * h1 + mb * h2 + mc) % 1000000007) AS mh
+        |         FROM mhh CROSS JOIN mixc GROUP BY doc_id, i),
+        |bandtab AS (SELECT doc_id, (i // 4) AS band,
+        |                   md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY i)) AS bh
+        |            FROM mins GROUP BY doc_id, (i // 4))
+        |SELECT a, b, count(*) AS shared_bands FROM (
         |  SELECT l.doc_id AS a, r.doc_id AS b, l.band
-        |  FROM (SELECT doc_id, (i // 4) AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
-        |        FROM (SELECT doc_id, i, min(md5(concat(i, ':', sh))) AS mh
-        |              FROM dsh CROSS JOIN range(16) r(i) GROUP BY doc_id, i)
-        |        GROUP BY doc_id, (i // 4)) l
-        |  JOIN (SELECT doc_id, (i // 4) AS band, md5(string_agg(mh, '|' ORDER BY i)) AS bh
-        |        FROM (SELECT doc_id, i, min(md5(concat(i, ':', sh))) AS mh
-        |              FROM dsh CROSS JOIN range(16) r(i) GROUP BY doc_id, i)
-        |        GROUP BY doc_id, (i // 4)) r
-        |    ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
+        |  FROM bandtab l
+        |  JOIN bandtab r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id)
         |GROUP BY a, b ORDER BY a, b""".stripMargin),
 
     "q16_simhash" -> q(
@@ -382,6 +398,53 @@ dsh AS (
         |          WHERE l.i < 10
         |          GROUP BY l.i, a.dst, l.label) t) WHERE rn = 1)
         |SELECT vid AS entity_id, label FROM lab WHERE i = 10
+        |ORDER BY entity_id""".stripMargin),
+
+    // q27c — PPR as a VALUE-level oracle: a FIXED 30-sweep power iteration
+    // (no early stop) is expressible as a recursive CTE, unlike q27's
+    // tol-converged fixpoint. Same update rule as the engine/networkx:
+    //   x'(v) = α·(Σ_{u→v} x(u)·w/outW(u) + danglesum·p(v)) + (1−α)·p(v)
+    // α=0.5, seed = highest-df entity (df desc, entity asc). The 0-weight
+    // self-loops give every vertex a row each round without changing
+    // contributions (q27b's trick), and dangling vertices (no out-arcs →
+    // ow IS NULL) feed the per-round danglesum via a window over the
+    // single recursive reference. round(,9) absorbs summation-order noise.
+    "q27c_ppr_fixed" -> q(
+      """, av2 AS (SELECT src, dst, weight FROM symarcs
+        |        UNION ALL
+        |        SELECT v, v, CAST(0 AS DOUBLE) FROM ents),
+        |od AS (SELECT src, sum(weight) AS ow FROM symarcs GROUP BY src),
+        |seedv AS (SELECT concat('entity-', md5(entity)) AS v FROM (
+        |            SELECT entity FROM (
+        |              SELECT entity, count(DISTINCT chunk_id) AS df
+        |              FROM chunk_ents GROUP BY entity)
+        |            ORDER BY df DESC, entity ASC LIMIT 1)),
+        |pv AS (SELECT e.v,
+        |              CASE WHEN e.v IN (SELECT v FROM seedv)
+        |                   THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS p
+        |       FROM ents e),
+        |pr(i, v, x) AS (
+        |  SELECT 0, p.v, p.p FROM pv p
+        |  UNION ALL
+        |  SELECT g.i + 1, g.vid,
+        |         CAST(0.5 * (g.contrib + g.ds * p2.p) + 0.5 * p2.p AS DOUBLE)
+        |  FROM (
+        |    SELECT e.i AS i, e.dst AS vid,
+        |           sum(CASE WHEN e.weight = 0 OR e.ow IS NULL THEN CAST(0 AS DOUBLE)
+        |                    ELSE e.x * e.weight / e.ow END) AS contrib,
+        |           max(e.ds) AS ds
+        |    FROM (
+        |      SELECT l.i, l.x, a.src, a.dst, a.weight, o.ow,
+        |             sum(CASE WHEN o.src IS NULL THEN l.x ELSE CAST(0 AS DOUBLE) END)
+        |               OVER (PARTITION BY l.i) AS ds
+        |      FROM pr l
+        |      JOIN av2 a ON a.src = l.v
+        |      LEFT JOIN od o ON o.src = a.src
+        |      WHERE l.i < 30
+        |    ) e
+        |    GROUP BY e.i, e.dst
+        |  ) g JOIN pv p2 ON p2.v = g.vid)
+        |SELECT v AS entity_id, round(x, 9) AS score FROM pr WHERE i = 30
         |ORDER BY entity_id""".stripMargin),
 
     "q26_degrees" -> q(

@@ -36,7 +36,10 @@ object Indexer {
       // entity embeddings + O(E²) dot products) stops being sane; the
       // synonymy expansion switches to the bucketed LSH candidate join
       // (graft.ops.Ann.lshTopKJoin) — approximate by design, same τ/cap
-      // semantics on the candidates it finds.
+      // semantics on the candidates it finds. The approximation is
+      // MEASURED, not assumed: OpsSpec's recall probe pins ≥0.95 recall
+      // of τ=0.8 pairs at these tables/planes settings on clustered
+      // near-synonym-shaped vectors.
       exactMaxEntities: Long = 65536L,
       // Floor for the plane count — the actual count scales with the
       // entity-table size ([[graft.ops.Ann.planesFor]]) so buckets keep a
@@ -90,15 +93,70 @@ object Indexer {
     else rebuild(store, syn)
   }
 
-  /** Delete by document content (reference delete, HippoRAG.py:337-411). */
+  /** Delete by document content (reference delete, HippoRAG.py:337-411).
+    *
+    * I3, O(Δ): when the store has per-family edge tables, the derived
+    * state absorbs the victims as DELTAS — fact-edge weights are
+    * SUBTRACTED (counts are distributive over disjoint chunk sets),
+    * victim passage edges dropped by key, and synonymy re-runs the KNN
+    * only for queries whose capped list lost a (now-dead) neighbor
+    * ([[deltaSynonymyDelete]]). No re-extraction, no corpus-wide KNN —
+    * the end state equals a from-scratch rebuild (tested), at
+    * O(victims + affected·E) instead of O(corpus + E²).
+    */
   def delete(store: GraphStore, docs: DataFrame, syn: SynonymyConfig = SynonymyConfig()): IndexStats = {
     val victims = Extract.chunks(docs, "content", Seq.empty).select("chunk_id")
+    // Bound to the PRE-delete snapshots (snapshot reads pin their version
+    // at call time): the victim triples drive the edge-weight subtraction.
+    val victimTriples = store.currentTriples.join(victims, Seq("chunk_id"), "left_semi")
+    val hadFamilies = !store.chunks.isEmpty && !store.factEdges.isEmpty
     val remaining = store.currentChunks.join(victims, Seq("chunk_id"), "left_anti")
     store.chunks.commit(remaining, "delete")
     val keptTriples = store.currentTriples
       .join(store.chunks.read().select("chunk_id"), Seq("chunk_id"), "left_semi")
     store.triples.commit(keptTriples, "delete")
-    rebuild(store, syn)
+    if (hadFamilies) incrementalDelete(store, victims, victimTriples, syn)
+    else rebuild(store, syn)
+  }
+
+  /** I3 delta — the inverse of [[incrementalRebuild]]. */
+  private def incrementalDelete(store: GraphStore, victimChunkIds: DataFrame,
+                                victimTriples: DataFrame,
+                                syn: SynonymyConfig): IndexStats = {
+    val chunksNow = store.chunks.read()
+    val triplesNow = store.triples.read()
+    val ents = Extract.entities(Extract.chunkEntities(triplesNow))
+
+    // Dead = embedded before, unreferenced by any surviving chunk. Must be
+    // derived BEFORE the retain pass rewrites the embedding snapshot (the
+    // frame pins the pre-retain snapshot, so ordering is belt-and-braces).
+    val deadIds = store.entityEmb.readOrEmpty(store.embSchema).select("hash_id")
+      .join(ents.select(col("entity_id").as("hash_id")), Seq("hash_id"), "left_anti")
+
+    val entityE = syncEmbeddings(store, chunksNow, ents, triplesNow, retain = true)
+
+    // Fact edges: subtract the victim chunks' counts; a pair whose weight
+    // hits zero had ALL its support in victim chunks and disappears.
+    val victimFact = GraphBuild.factEdges(victimTriples)
+      .select(col("src"), col("dst"), col("weight").as("vw"))
+    val fact = store.factEdges.read()
+      .join(victimFact, Seq("src", "dst"), "left")
+      .select(col("src"), col("dst"),
+        (col("weight") - coalesce(col("vw"), lit(0.0))).as("weight"), col("etype"))
+      .where(col("weight") > 0)
+    store.factEdges.commit(fact, "delete-delta")
+
+    // Passage edges: keyed by victim chunk — drop by key. A surviving
+    // chunk cannot point at a dead entity (its entities are, by
+    // definition, still referenced).
+    val pass = store.passageEdges.read()
+      .join(victimChunkIds.select(col("chunk_id").as("src")), Seq("src"), "left_anti")
+    store.passageEdges.commit(pass, "delete-delta")
+
+    val synE = deltaSynonymyDelete(store.synEdges.read(), entityE, deadIds, syn)
+    store.synEdges.commit(synE, "delete-delta")
+
+    commitMerged(store, ents, chunksNow)
   }
 
   /** Re-derive graph + embedding stores from the current chunk/triple set. */
@@ -277,6 +335,54 @@ object Indexer {
       .unionByName(oldVsNew.select("qid", "kid", "score"))
       .dropDuplicates("qid", "kid")
     capAccepted(merged, syn)
+  }
+
+  /** I3 synonymy delta for delete. A stored capped list stays EXACTLY the
+    * full-rebuild answer unless it loses an entry: it was the top-cap over
+    * a SUPERSET of the surviving keys, so with no dead neighbor it is
+    * still the top-cap. Hence:
+    *
+    *  - dead queries: dropped;
+    *  - queries whose list contains a dead neighbor ("affected"): losing a
+    *    capped entry can admit a neighbor that was previously cut at the
+    *    cap, which the stored list does not hold — ONLY these re-run the
+    *    KNN against the surviving keys (O(affected · E));
+    *  - every other query keeps its stored list verbatim.
+    *
+    * Same exact/LSH gate as [[synonymyEdges]]; identity with a
+    * from-scratch rebuild holds in the exact regime (tested), and the LSH
+    * regime keeps the recall-superset property of [[deltaSynonymy]].
+    */
+  private[retrieve] def deltaSynonymyDelete(storedSyn: DataFrame, entityEmb: DataFrame,
+                                            deadIds: DataFrame,
+                                            syn: SynonymyConfig): DataFrame = {
+    require(syn.cap <= syn.topK,
+      s"synonymy cap (${syn.cap}) must be <= KNN topK (${syn.topK})")
+    val queries = validQueries(entityEmb) // post-retain: surviving entities only
+    val keys = validKeys(entityEmb)
+    val affected = storedSyn
+      .join(deadIds.select(col("hash_id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src").as("qid")).distinct()
+      .join(deadIds.select(col("hash_id").as("qid")), Seq("qid"), "left_anti")
+    val affectedQueries = queries.join(affected, Seq("qid"), "left_semi")
+
+    val nQ = queries.count()
+    val reKnn =
+      (if (nQ <= syn.exactMaxEntities)
+         Knn.topK(affectedQueries, keys, syn.topK, excludeSelf = true)
+       else
+         graft.ops.Ann.lshTopKJoin(affectedQueries, keys, syn.topK,
+           nPlanes = graft.ops.Ann.planesFor(nQ, syn.lshPlanes),
+           dim = graft.extract.Embeddings.Dim,
+           tables = syn.lshTables, excludeSelf = true,
+           maxBucket = syn.lshMaxBucket))
+        .where(col("score") >= syn.threshold)
+
+    val kept = storedSyn
+      .join(deadIds.select(col("hash_id").as("src")), Seq("src"), "left_anti")
+      .join(affected.select(col("qid").as("src")), Seq("src"), "left_anti")
+      .select(col("src").as("qid"), col("dst").as("kid"), col("weight").as("score"))
+    capAccepted(kept.unionByName(reKnn.select("qid", "kid", "score")), syn)
   }
 
   /** τ-accepted candidates → per-query cap in (score desc, kid asc) order

@@ -39,7 +39,14 @@ object Retriever {
       // kernel (query-sharded or vertex-major CSR — see the selection in
       // retrieve()); above them, the sparse shuffle path takes over.
       csrMaxVertices: Long = 2000000L,
-      shardMaxArcs: Long = 5000000L)
+      shardMaxArcs: Long = 5000000L,
+      // The vertex-major CSR kernel holds (and broadcasts) a dense V×Q
+      // rank state and collects a ≤ V×Q seed frame — both are gated on
+      // this bound (entries; 2^24 doubles = 128 MB). Past it the branch
+      // is WRONG regardless of V alone: 10k dense-seeded queries over a
+      // 2M-vertex graph is 160 GB of driver state. Such jobs fall through
+      // to the fully distributed shuffle path.
+      csrStateBound: Long = 1L << 24)
 
   /** Query embeddings mirror the two instruction channels
     * (HippoRAG.py:1391-1425, prompts/linking.py): one vector for fact
@@ -164,7 +171,11 @@ object Retriever {
       queries: Seq[(Long, String)],
       cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
     val spark = store.spark
-    val qdf = queryFrame(spark, queries).cache()
+    // NOT cached: the frame is Q local rows + a hash-embedding projection —
+    // recomputing it per consumer is cheaper than a cache entry, and two
+    // retrieve() calls with the same queries would re-cache an identical
+    // plan (CacheManager warning spam).
+    val qdf = queryFrame(spark, queries)
     val seedsByKey = seedWeights(store, qdf, cfg)
 
     // --- encode to vids, run multi-query PPR over the symmetrized graph.
@@ -177,36 +188,36 @@ object Retriever {
     // Strategy selection (north rule "broadcast-or-shuffle", three-way):
     //  - many queries over a driver-collectable graph → query-sharded
     //    (CSR broadcast once, queries embarrassingly parallel);
-    //  - few queries, rank state still fits → vertex-major broadcast CSR;
-    //  - otherwise → sparse shuffle gather-scatter.
+    //  - few queries, V×Q rank state still fits → vertex-major broadcast
+    //    CSR (the graph itself stays distributed as AdjBlocks);
+    //  - otherwise → sparse shuffle gather-scatter, fully distributed.
     val pprCfg = PprConfig(damping = cfg.damping, tol = cfg.pprTol)
-    lazy val nArcs = arcs.count()
     val scores: DataFrame =
-      if (nVertices <= cfg.csrMaxVertices && nArcs <= cfg.shardMaxArcs
-          && queries.size >= 4) {
-        // Query-sharded: the CSR is broadcast once; the seed frame stays
-        // DISTRIBUTED (hash-repartitioned by qid, grouped inside tasks).
-        // Passage weights are dense over all chunks per query (reference
-        // semantics), so a driver collect here would be Q×V rows — the
-        // round-1 OOM path this replaces.
-        val csr = PprShard.buildLocal(arcs, nVertices.toInt)
-        new PprShard.Runner(spark, csr).runFrame(seeds, pprCfg)._1
-      } else if (nVertices <= cfg.csrMaxVertices) {
-        import spark.implicits._
-        val blocks = graft.graph.Adjacency.csrBlocks(spark, arcs,
-          edgesPerBlock = 1 << 16)
-        val outW = {
-          val a = new Array[Double](nVertices.toInt)
-          graft.graph.Adjacency.outWeights(arcs).collect()
-            .foreach(r => a(r.getAs[Long]("src").toInt) = r.getAs[Double]("out_w"))
-          a
-        }
-        val (arr, _) = PprCsr.run(blocks, outW, collectSeeds(seeds), pprCfg)
-        arr.flatMap { case (q, xs) =>
-          xs.iterator.zipWithIndex.collect { case (x, v) if x != 0.0 => (q, v.toLong, x) }
-        }.toDF("qid", "vid", "score")
-      } else {
-        Ppr.run(spark, arcs, nVertices, seeds, pprCfg)._1
+      chooseStrategy(nVertices, arcs.count(), queries.size.toLong, cfg) match {
+        case "shard" =>
+          // Query-sharded: the CSR is broadcast once; the seed frame stays
+          // DISTRIBUTED (hash-repartitioned by qid, grouped inside tasks).
+          // Passage weights are dense over all chunks per query (reference
+          // semantics), so a driver collect here would be Q×V rows — the
+          // round-1 OOM path this replaces.
+          val csr = PprShard.buildLocal(arcs, nVertices.toInt)
+          new PprShard.Runner(spark, csr).runFrame(seeds, pprCfg)._1
+        case "csr" =>
+          val blocks = graft.graph.Adjacency.csrBlocks(spark, arcs,
+            edgesPerBlock = 1 << 16)
+          val outW = {
+            val a = new Array[Double](nVertices.toInt)
+            graft.graph.Adjacency.outWeights(arcs).collect()
+              .foreach(r => a(r.getAs[Long]("src").toInt) = r.getAs[Double]("out_w"))
+            a
+          }
+          // Both the seed collect (≤ V·Q rows, dense passage weights) and
+          // the kernel's V×Q rank state are bounded by csrStateBound —
+          // chooseStrategy refuses this branch otherwise.
+          val (arr, _) = PprCsr.run(blocks, outW, collectSeeds(seeds), pprCfg)
+          PprCsr.toFrame(spark, arr)
+        case _ =>
+          Ppr.run(spark, arcs, nVertices, seeds, pprCfg)._1
       }
 
     // --- W6 readout: passage nodes only, rank desc per query.
@@ -219,6 +230,20 @@ object Retriever {
     ranked.withColumn("rank", row_number().over(wr))
       .where(col("rank") <= cfg.retrievalTopK)
   }
+
+  /** Execution-strategy selector for the PPR stage (unit-tested). `nArcs`
+    * is by-name: it costs a count and is only needed when the graph is
+    * small enough for a broadcast strategy at all.
+    */
+  private[retrieve] def chooseStrategy(nVertices: Long, nArcs: => Long,
+                                       nQueries: Long, cfg: RetrieveConfig): String =
+    if (nVertices > cfg.csrMaxVertices) "shuffle"
+    else if (nQueries >= 4 && nArcs <= cfg.shardMaxArcs) "shard"
+    else if (nVertices * nQueries <= cfg.csrStateBound) "csr"
+    // Few queries but a V×Q state past the bound: sharding still works —
+    // it broadcasts only the O(E) graph, never a V×Q state.
+    else if (nArcs <= cfg.shardMaxArcs) "shard"
+    else "shuffle"
 
   private def collectSeeds(seeds: DataFrame): Seq[(Long, Seq[(Long, Double)])] =
     seeds.collect()

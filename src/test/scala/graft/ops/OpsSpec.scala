@@ -119,6 +119,39 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.exists { case (q, k) => q.startsWith("h") && k.startsWith("h") })
   }
 
+  test("LSH recall guard: τ-accepted pairs at synonymy settings, recall ≥ 0.95 vs exact") {
+    // Above the synonymy exact-KNN gate the graph silently becomes
+    // approximate — this probe MEASURES the approximation instead of
+    // assuming it: clustered unit vectors (the shape of near-synonym
+    // trigram embeddings), exact τ=0.8 pair set vs the pairs the gated
+    // LSH path surfaces, at the same tables/planes rule the Indexer uses.
+    val dim = 32
+    val nClusters = 60
+    val perCluster = 12
+    val vecs = (0 until nClusters * perCluster).map { i =>
+      val c = Embeddings.hashUnit(s"c${i / perCluster}", dim)
+      val j = Embeddings.hashUnit(s"j$i", dim)
+      val v = c.zip(j).map { case (a, b) => a + 0.12f * b }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toString, v.map(_ / n))
+    }.toDF("id", "v")
+    val q = vecs.select(col("id").as("qid"), col("v").as("qvec"))
+    val k = vecs.select(col("id").as("kid"), col("v").as("kvec"))
+    val tau = 0.8
+    val exact = graft.retrieve.Knn.topK(q, k, 50, excludeSelf = true)
+      .where(col("score") >= tau)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    val n = nClusters * perCluster
+    val lsh = Ann.lshTopKJoin(q, k, 50,
+        nPlanes = Ann.planesFor(n, 12), dim = dim, tables = 6,
+        excludeSelf = true, maxBucket = 1024)
+      .where(col("score") >= tau)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    assert(exact.nonEmpty, "probe needs a non-trivial τ-accepted pair set")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall < 0.95 over ${exact.size} exact pairs")
+  }
+
   test("planesFor scales with log2(n) above the floor, capped at 24") {
     assert(Ann.planesFor(1000L, 12) == 12)           // floor wins
     assert(Ann.planesFor(1000000L, 12) == 14)        // ceil(log2(1e6/64))

@@ -113,6 +113,51 @@ class LifecycleSpec extends SparkSpec {
     assert(vertSet(storeA) == vertSet(storeB))
   }
 
+  test("incremental delete == from-scratch rebuild at the family level (I3 delta)") {
+    val storeA = freshStore()
+    Indexer.index(storeA, (docs ++ extraDocs).toDF("content"))
+    Indexer.delete(storeA, extraDocs.toDF("content"))
+    val storeB = freshStore()
+    Indexer.index(storeB, docs.toDF("content"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(rows(storeA.factEdges.read()) == rows(storeB.factEdges.read()),
+      "subtracted fact edges must equal a from-scratch derivation")
+    assert(rows(storeA.passageEdges.read()) == rows(storeB.passageEdges.read()))
+    assert(rows(storeA.synEdges.read()) == rows(storeB.synEdges.read()),
+      "delta synonymy after delete must equal a full re-KNN")
+    def ids(t: graft.lake.SnapshotTable) =
+      t.read().select("hash_id").collect().map(_.getString(0)).toSet
+    assert(ids(storeA.entityEmb) == ids(storeB.entityEmb),
+      "dead entities must leave the embedding store")
+  }
+
+  test("delete synonymy delta re-runs KNN ONLY for queries that lost a neighbor") {
+    // Surviving embeddings place q2 right next to c (dot 1.0 ≥ τ): if the
+    // delta re-ran the KNN for q2, a (q2, c) edge would appear. q2 did not
+    // lose a neighbor, so its stored list must pass through VERBATIM.
+    def unit(hot: Int): Array[Float] = Array.tabulate(8)(i => if (i == hot) 1f else 0f)
+    val emb = Seq(
+      ("q1", "aaaa", unit(0)), ("a", "bbbb", unit(0)),      // q1 ~ a
+      ("q2", "cccc", unit(1)), ("c", "dddd", unit(1)),      // q2 ~ c
+      ("b", "eeee", unit(2))
+    ).toDF("hash_id", "content", "embedding")
+    val stored = Seq(
+      ("q1", "x", 0.95, 2), ("q1", "a", 0.9, 2), // q1 held dead neighbor x
+      ("q2", "a", 0.9, 2)                        // q2's list has no dead entry
+    ).toDF("src", "dst", "weight", "etype")
+    val dead = Seq("x").toDF("hash_id")
+    val out = Indexer.deltaSynonymyDelete(stored, emb, dead,
+        Indexer.SynonymyConfig(topK = 5, cap = 3))
+      .select("src", "dst", "weight").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out.contains(("q1", "a", 1.0)), s"affected q1 must re-derive from embeddings: $out")
+    assert(!out.exists { case (s, d, _) => s == "q1" && d == "x" }, "dead neighbor must vanish")
+    assert(out.filter(_._1 == "q2") == Set(("q2", "a", 0.9)),
+      s"unaffected q2 must keep its stored list verbatim (no re-KNN): $out")
+  }
+
   test("chunk metadata map survives index → reopen (S7)") {
     val store = freshStore()
     val df = Seq(("Alice visited Paris. Paris hosts Louvre.",
@@ -153,6 +198,43 @@ class LifecycleSpec extends SparkSpec {
     val mb = graft.core.Ids.mdhashStr(graft.core.Ids.EntityNs, "montebello")
     val mbs = graft.core.Ids.mdhashStr(graft.core.Ids.EntityNs, "montebellos")
     assert(pairs.contains((mb, mbs)) || pairs.contains((mbs, mb)))
+  }
+
+  test("PPR strategy selector: the CSR branch is gated on Q×V state, not V alone") {
+    val cfg = Retriever.RetrieveConfig()
+    assert(Retriever.chooseStrategy(3000000L, 1L, 1L, cfg) == "shuffle",
+      "graph past csrMaxVertices must shuffle")
+    assert(Retriever.chooseStrategy(1000L, 1000L, 64L, cfg) == "shard",
+      "many queries over a collectable graph → query-sharded")
+    assert(Retriever.chooseStrategy(1000000L, 50000000L, 2L, cfg) == "csr",
+      "few queries, graph too big to collect but V×Q state fits → CSR")
+    // The round-2 hole: 10k dense-seeded queries over a 2M-vertex graph
+    // took the CSR branch and materialized Q×V on the driver. Now: shuffle.
+    assert(Retriever.chooseStrategy(2000000L, 50000000L, 10000L, cfg) == "shuffle",
+      "Q×V past csrStateBound with an uncollectable graph must shuffle")
+    // Q < 4 but state past a (tight) bound: sharding still only
+    // broadcasts the O(E) graph.
+    assert(Retriever.chooseStrategy(2000L, 4000L, 2L,
+      cfg.copy(csrStateBound = 1000L)) == "shard")
+  }
+
+  test("CSR-branch retrieval (64 dense-seeded queries) == query-sharded path") {
+    val store = freshStore()
+    Indexer.index(store, docs.toDF("content"))
+    val queries = (0 until 64).map(i => i.toLong -> s"paris louvre query number $i")
+    val cfgShard = Retriever.RetrieveConfig(retrievalTopK = 5)
+    val cfgCsr = cfgShard.copy(shardMaxArcs = 0L) // selector → "csr" (unit-tested above)
+    def res(cfg: Retriever.RetrieveConfig) =
+      Retriever.retrieve(store, queries, cfg).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[String]("chunk_id")) ->
+          (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    val shard = res(cfgShard)
+    val csr = res(cfgCsr)
+    assert(shard.keySet == csr.keySet, "both strategies must rank the same passages")
+    assert(shard.forall { case (k, (rank, _)) => csr(k)._1 == rank },
+      "ranks must agree across strategies")
+    val maxDiff = shard.map { case (k, (_, s)) => math.abs(s - csr(k)._2) }.max
+    assert(maxDiff < 1e-9, s"cross-strategy score drift $maxDiff")
   }
 
   test("linking score map is the seed weights trimmed to top 30 (W4)") {
