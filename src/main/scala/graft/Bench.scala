@@ -49,6 +49,16 @@ object Bench {
   private def spread(xs: Seq[Double]): Double =
     if (xs.isEmpty) 0.0 else (xs.max - xs.min) / median(xs)
 
+  /** Robust relative spread: interquartile range / median — one bad steal
+    * window in 9 reps moves max−min a lot but IQR barely.
+    */
+  private def iqr(xs: Seq[Double]): Double =
+    if (xs.length < 4) spread(xs)
+    else {
+      val s = xs.sorted
+      (s(3 * s.length / 4) - s(s.length / 4)) / median(xs)
+    }
+
   /** Integer-ALU strong-scaling ceiling: pure-JVM md5 burn, no Spark. */
   private def md5Ceiling(): (Double, Double, Double) = {
     def burn(threads: Int, perThread: Int): Double = {
@@ -270,34 +280,39 @@ object Bench {
     // at every block — only the session's core count changes).
     val blocksPerLevel = 3
     val repsPerBlock = math.max(1, (scaleReps + blocksPerLevel - 1) / blocksPerLevel)
-    val build = scala.collection.mutable.Map.empty[Int, (Double, Double)]
+    val buildReps = scala.collection.mutable.Map(8 -> Seq.empty[(Double, Double)],
+      32 -> Seq.empty[(Double, Double)])
     val pprReps = scala.collection.mutable.Map(8 -> Seq.empty[Double], 32 -> Seq.empty[Double])
     var csrShared: PprShard.LocalCsr = null
     var nVShared = 0L
     var statsShared: PprStats = null
     for (block <- 0 until blocksPerLevel; cores <- Seq(8, 32)) {
       val s = session(cores, cores)
-      if (block == 0) {
-        val (bw, gw, csr, nV) = runBuildPhases(s, scaleDir)
-        build(cores) = (bw, gw)
-        if (csrShared == null) { csrShared = csr; nVShared = nV }
-        else require(csr.nEdges == csrShared.nEdges && nV == nVShared,
-          "scaling graph must be identical at both levels")
-      }
+      // Build phases run in EVERY block (not once per level): a one-shot
+      // build measurement aliases a single bad steal window straight into
+      // the build-efficiency ratio, exactly what interleaving exists to
+      // prevent. Per-level build/graph = median of the three blocks.
+      val (bw, gw, csr, nV) = runBuildPhases(s, scaleDir)
+      buildReps(cores) = buildReps(cores) :+ (bw, gw)
+      if (csrShared == null) { csrShared = csr; nVShared = nV }
+      else require(csr.nEdges == csrShared.nEdges && nV == nVShared,
+        "scaling graph must be identical at both levels and blocks")
       val (walls, stats) = runPprBlock(s, csrShared, nVShared, scaleQueries,
         repsPerBlock, scaleBatch)
       if (statsShared == null) statsShared = stats
       pprReps(cores) = pprReps(cores) ++ walls
-      System.err.println(f"[bench] block $block local[$cores] ppr reps: " +
+      System.err.println(f"[bench] block $block local[$cores] " +
+        f"build/graph: ${bw}%.1f/${gw}%.1f, ppr reps: " +
         walls.map("%.2f".format(_)).mkString(" "))
       s.stop()
     }
     def level(cores: Int): LevelResult = {
-      val (bw, gw) = build(cores)
       val walls = pprReps(cores)
       val m = median(walls)
       LevelResult(
-        buildWall = bw, graphWall = gw, pprWall = m, pprWalls = walls,
+        buildWall = median(buildReps(cores).map(_._1)),
+        graphWall = median(buildReps(cores).map(_._2)),
+        pprWall = m, pprWalls = walls,
         nV = nVShared, nE = csrShared.nEdges,
         iters = statsShared.iterations.toLong,
         edgesPerSec = statsShared.traversedEdges / m,
@@ -336,6 +351,8 @@ object Bench {
       s""""efficiency_total":${"%.3f".format(effTotal)},""" +
       s""""ppr_spread_8":${"%.3f".format(spread(r8.pprWalls))},""" +
       s""""ppr_spread_32":${"%.3f".format(spread(r32.pprWalls))},""" +
+      s""""ppr_iqr_8":${"%.3f".format(iqr(r8.pprWalls))},""" +
+      s""""ppr_iqr_32":${"%.3f".format(iqr(r32.pprWalls))},""" +
       s""""hw_ceiling_8to32":${"%.3f".format(md5Eff)},""" +
       s""""fma_ceiling_8to32":${"%.3f".format(fmaEff)},""" +
       s""""stream_gbps_8":${"%.1f".format(stream8)},"stream_gbps_32":${"%.1f".format(stream32)},""" +
@@ -364,12 +381,13 @@ object Bench {
       s"encoded arcs -> CSR; (b) GRAPH = dictionary+encode+CSR over the edge\n" +
       s"table; (c) PPR = $scaleQueries per-query PPRs to 1e-6 L1, query-sharded\n" +
       s"batched kernel (B=$scaleBatch, destination-blocked; the serving shape of the\n" +
-      s"reference's per-query run_ppr, HippoRAG.py:1736). PPR reps run in\n" +
+      s"reference's per-query run_ppr, HippoRAG.py:1736). ALL phases run in\n" +
       s"INTERLEAVED 8/32 blocks (A/B/A/B...) so the shared-cloud turbo/steal\n" +
-      s"drift hits both levels alike; median of ${r8.pprWalls.length} reps per level, all reps\n" +
-      s"and the (max-min)/median spread shown. No real cluster exists in this\n" +
-      s"sandbox: two local parallelism levels over the same persisted input\n" +
-      s"are the documented N->4N proxy.\n\n" +
+      s"drift hits both levels alike: build/graph = median of 3 per-block\n" +
+      s"measurements per level, PPR = median of ${r8.pprWalls.length} reps per level, all PPR\n" +
+      s"reps and the (max-min)/median spread shown. No real cluster exists in\n" +
+      s"this sandbox: two local parallelism levels over the same persisted\n" +
+      s"input are the documented N->4N proxy.\n\n" +
       "| level | build sec | graph sec | PPR sec (median) | PPR reps | spread | iters/sec | edges/sec | queries/sec |\n" +
       "|---|---|---|---|---|---|---|---|---|\n" +
       s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.graphWall)} | ${"%.2f".format(r8.pprWall)} | ${reps(r8)} | ${"%.0f%%".format(100 * spread(r8.pprWalls))} | ${"%.1f".format(r8.itersPerSec)} | ${"%.2e".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftx
 
@@ -32,12 +32,17 @@ object VectorOps {
   /** min-max normalize a column over the whole frame, reproducing the
     * reference edge case: zero range → all ones
     * (reference src/hipporag/utils/misc_utils.py:130-139).
+    *
+    * Scale shape: aggregate once (map-side partial min/max), broadcast the
+    * one-row bounds, project. A partition-less window would funnel the
+    * ENTIRE table through one task — the classic global-window trap.
     */
-  def minMaxOver(c: Column): Column = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy()
-    val mn = min(c).over(w)
-    val mx = max(c).over(w)
-    when(mx === mn, lit(1.0)).otherwise((c - mn) / (mx - mn))
+  def minMaxNormalized(df: DataFrame, c: Column, outName: String): DataFrame = {
+    val bounds = df.agg(min(c).as("__mn"), max(c).as("__mx"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outName,
+        when(col("__mx") === col("__mn"), lit(1.0))
+          .otherwise((c - col("__mn")) / (col("__mx") - col("__mn"))))
+      .drop("__mn", "__mx")
   }
 }

@@ -102,11 +102,20 @@ object Retriever {
   private def seedWeights(store: GraphStore, qdf: DataFrame,
                           cfg: RetrieveConfig): DataFrame = {
     val triplesNow = store.triples.read()
-    val chunkEnts = graft.extract.Extract.chunkEntities(triplesNow)
-    // A4: df = |chunks containing the entity| (ent_node_to_chunk_ids).
-    val entityDf = chunkEnts
-      .select(Ids.mdhash(Ids.EntityNs, col("entity")).as("entity_id"), col("chunk_id"))
-      .groupBy("entity_id").agg(countDistinct("chunk_id").as("df"))
+    // A4: df = |chunks containing the entity| (ent_node_to_chunk_ids) ==
+    // the stored passage-edge in-degree (edges are distinct (chunk,
+    // entity) pairs) — a groupBy over the precomputed edge family
+    // instead of re-deriving chunk-entity sets from the whole triples
+    // table on EVERY retrieve call. Pre-family stores fall back to the
+    // triples derivation.
+    val entityDf =
+      if (!store.passageEdges.isEmpty)
+        store.passageEdges.read()
+          .groupBy(col("dst").as("entity_id")).agg(count(lit(1)).as("df"))
+      else
+        graft.extract.Extract.chunkEntities(triplesNow)
+          .select(Ids.mdhash(Ids.EntityNs, col("entity")).as("entity_id"), col("chunk_id"))
+          .groupBy("entity_id").agg(countDistinct("chunk_id").as("df"))
 
     // --- W2: top-k facts per query (argsort desc, ties → larger id first)
     val fs = factScores(qdf, store.factEmb.read())
