@@ -56,6 +56,7 @@ object SparkEntry {
     // similarity search (J6/W5)
     "q18_cosine_topk" -> (Q.qCosineTopK _),
     "q19_ann_lsh" -> (Q.qAnnLsh _),
+    "q31_embed_dedup" -> (Q.qEmbedDedup _),
     // text analysis
     "q20_lang_id" -> (Q.qLangId _),
     "q21_quality" -> (Q.qQuality _),

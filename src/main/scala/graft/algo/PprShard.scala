@@ -57,23 +57,51 @@ object PprShard {
 
   /** Collect symmetrized arcs into a driver-side CSR (use only when
     * E·20B fits comfortably — the same regime this strategy targets).
+    *
+    * The row decode runs ON EXECUTORS into per-partition primitive
+    * arrays; the driver only concatenates and counting-sorts. A plain
+    * `collect()` deserialized ~2E boxed Rows single-threaded on the
+    * driver — measured as the dominant SERIAL term of the bench's graph
+    * phase (Amdahl floor on the 8→32 build scaling), and this collect
+    * sits on the serving path (one per query-sharded retrieve).
     */
   def buildLocal(arcs: DataFrame, nV: Int): LocalCsr = {
-    val rows = arcs.select(col("src").cast("long"), col("dst").cast("long"),
-        col("weight").cast("double")).collect()
+    val chunks: Array[(Array[Int], Array[Int], Array[Double])] =
+      arcs.select(col("src").cast("long"), col("dst").cast("long"),
+          col("weight").cast("double"))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val s = new scala.collection.mutable.ArrayBuilder.ofInt
+          val d = new scala.collection.mutable.ArrayBuilder.ofInt
+          val w = new scala.collection.mutable.ArrayBuilder.ofDouble
+          it.foreach { row =>
+            s += row.getLong(0).toInt
+            d += row.getLong(1).toInt
+            w += row.getDouble(2)
+          }
+          Iterator.single((s.result(), d.result(), w.result()))
+        }.collect()
+    val m = chunks.iterator.map(_._1.length.toLong).sum
+    require(m <= Int.MaxValue, s"CSR edge count $m exceeds local limit")
     val deg = new Array[Int](nV)
-    rows.foreach(r => deg(r.getLong(0).toInt) += 1)
+    chunks.foreach { case (ss, _, _) =>
+      var i = 0
+      while (i < ss.length) { deg(ss(i)) += 1; i += 1 }
+    }
     val offsets = new Array[Int](nV + 1)
     var i = 0
     while (i < nV) { offsets(i + 1) = offsets(i) + deg(i); i += 1 }
     val cursor = offsets.clone()
-    val dsts = new Array[Int](rows.length)
-    val ws = new Array[Double](rows.length)
-    rows.foreach { r =>
-      val s = r.getLong(0).toInt
-      dsts(cursor(s)) = r.getLong(1).toInt
-      ws(cursor(s)) = r.getDouble(2)
-      cursor(s) += 1
+    val dsts = new Array[Int](m.toInt)
+    val ws = new Array[Double](m.toInt)
+    chunks.foreach { case (ss, dd, ww) =>
+      var k = 0
+      while (k < ss.length) {
+        val c = cursor(ss(k))
+        dsts(c) = dd(k)
+        ws(c) = ww(k)
+        cursor(ss(k)) = c + 1
+        k += 1
+      }
     }
     val outW = new Array[Double](nV)
     i = 0

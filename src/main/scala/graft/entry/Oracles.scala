@@ -271,6 +271,34 @@ dsh AS (
       |  FROM scored) WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin,
 
+    // q31 — embedding near-dup groups: exact cosine pairs at τ=0.42
+    // (min margin to any pair score 3.4e-5 across sf tables — no
+    // threshold flips from summation order), then min-label transitive
+    // closure (q24's reach pattern) for the component keeper.
+    "q31_embed_dedup" -> """
+      |WITH RECURSIVE ev AS (
+      |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv
+      |        FROM ev GROUP BY vec_id),
+      |d AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |             sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      |      FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id
+      |      GROUP BY 1, 2),
+      |pairs AS (SELECT qa, qb FROM d
+      |          JOIN nrm na ON na.vec_id = d.qa
+      |          JOIN nrm nb ON nb.vec_id = d.qb
+      |          WHERE dot / (na.nv * nb.nv) >= 0.42),
+      |arcs AS (SELECT qa AS src, qb AS dst FROM pairs
+      |         UNION ALL SELECT qb, qa FROM pairs),
+      |verts AS (SELECT DISTINCT vec_id AS v FROM embeddings),
+      |reach(v, m) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT a.dst, r.m FROM reach r JOIN arcs a ON a.src = r.v)
+      |SELECT v AS vec_id, min(m) AS keeper FROM reach GROUP BY v
+      |ORDER BY vec_id""".stripMargin,
+
     "q18_cosine_topk" -> """
       |WITH ev AS (
       |  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

@@ -189,6 +189,34 @@ object Dedup {
       .dropDuplicates("a", "b") // a pair may agree on several bands
   }
 
+  /** Embedding-cosine near-dup groups: τ-thresholded cosine pairs →
+    * connected components over the pair graph → keeper = min key per
+    * component (every key emits a row; singletons keep themselves).
+    *
+    * Pair generation here is the exact one-broadcast-pass form (the
+    * oracle-matched baseline); at corpus scale swap the pair stage for
+    * [[graft.ops.Ann.lshTopKJoin]] — its recall at τ is measured, not
+    * assumed (OpsSpec recall guard). The CC stage is the map-side-
+    * combinable min-label propagation ([[graft.algo.ConnectedComponents]]).
+    * @return (key, keeper)
+    */
+  def embeddingNearDupGroups(vecs: DataFrame, idCol: String, vecCol: String,
+                             tau: Double): DataFrame = {
+    import graft.functions.VectorOps
+    val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val k = vecs.select(col(idCol).as("kid"), col(vecCol).as("kvec"))
+    val pairs = k.join(broadcast(q))
+      .where(col("qid") < col("kid"))
+      .select(col("qid"), col("kid"),
+        VectorOps.cosine(col("qvec"), col("kvec")).as("score"))
+      .where(col("score") >= tau)
+    val arcs = pairs.select(col("qid").as("src"), col("kid").as("dst"))
+      .unionAll(pairs.select(col("kid").as("src"), col("qid").as("dst")))
+    val verts = vecs.select(col(idCol).as("vid"))
+    val (labels, _) = graft.algo.ConnectedComponents.run(arcs, verts)
+    labels.select(col("vid").as("key"), col("component").as("keeper"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs above a threshold.
     * |A∩B| via a shingle-join, |A∪B| = |A|+|B|−|A∩B|.
     *

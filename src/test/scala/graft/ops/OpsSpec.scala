@@ -119,6 +119,22 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.exists { case (q, k) => q.startsWith("h") && k.startsWith("h") })
   }
 
+  test("embedding near-dup groups: transitive clusters, singletons keep themselves") {
+    def jig(center: String, i: Int): Array[Float] = {
+      val c = Embeddings.hashUnit(center, 16)
+      val j = Embeddings.hashUnit(s"nd$i", 16)
+      c.zip(j).map { case (a, b) => a + 0.05f * b }
+    }
+    val vecs = Seq(
+      (10L, jig("x", 0)), (11L, jig("x", 1)), (12L, jig("x", 2)), // cluster → keeper 10
+      (20L, jig("y", 3)), (21L, jig("y", 4)),                     // cluster → keeper 20
+      (30L, jig("z", 5))                                          // singleton
+    ).toDF("id", "v")
+    val got = Dedup.embeddingNearDupGroups(vecs, "id", "v", tau = 0.9)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("keeper")).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("LSH recall guard: τ-accepted pairs at synonymy settings, recall ≥ 0.95 vs exact") {
     // Above the synonymy exact-KNN gate the graph silently becomes
     // approximate — this probe MEASURES the approximation instead of
