@@ -50,4 +50,34 @@ object StreamIngest {
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
+
+  case class DedupedPage(url: String, textHash: String, keeper: String, isDup: Boolean)
+
+  /** Stateful streaming dedup — the streaming form of the engine's
+    * content-hash idempotency (I1/S8): rows group by md5(text) and a
+    * `flatMapGroupsWithState` keeps ONE keeper url per hash in GroupState
+    * (first batch's min url wins; deterministic within a batch). Every row
+    * is emitted tagged (keeper, isDup), so downstream sinks can either
+    * drop dups or keep lineage. State lives in the query checkpoint —
+    * exactly-once across restarts, unbounded keys sharded by the state
+    * store (the 100-TB shape: state scales out with partitions, no
+    * driver-side set).
+    */
+  def streamingDedup(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    pages.select(col("url"), md5(col("text")).as("text_hash"))
+      .as[(String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[String, DedupedPage](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[(String, String)], state: GroupState[String]) =>
+          val batch = rows.map(_._1).toSeq.sorted
+          val keeper = state.getOption.getOrElse(batch.head)
+          if (state.getOption.isEmpty) state.update(keeper)
+          batch.iterator.map(url =>
+            DedupedPage(url, hash, keeper, isDup = url != keeper))
+      }
+      .toDF()
+  }
 }

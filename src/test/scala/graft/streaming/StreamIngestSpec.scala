@@ -39,6 +39,32 @@ class StreamIngestSpec extends SparkSpec {
     assert(afterSecond == batch.count())
   }
 
+  test("stateful streaming dedup: one keeper per content hash, state spans batches") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, String)]
+    val pages = src.toDF().toDF("url", "text")
+    val q = StreamIngest.streamingDedup(spark, pages)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      src.addData(("u1", "alpha"), ("u2", "alpha"), ("u3", "beta"))
+      q.processAllAvailable()
+      // A LATER batch re-sends alpha: the keeper must come from GroupState,
+      // not from anything visible inside the new batch.
+      src.addData(("u4", "alpha"), ("u5", "gamma"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").collect()
+        .map(r => r.getAs[String]("url") ->
+          (r.getAs[String]("keeper"), r.getAs[Boolean]("isDup"))).toMap
+      assert(rows("u1") == ("u1", false))
+      assert(rows("u2") == ("u1", true))
+      assert(rows("u3") == ("u3", false))
+      assert(rows("u4") == ("u1", true), "state must carry the keeper across batches")
+      assert(rows("u5") == ("u5", false))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts match batch aggregation on closed windows") {
     import spark.implicits._
     val events = Seq(
