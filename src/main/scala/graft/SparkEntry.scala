@@ -57,6 +57,7 @@ object SparkEntry {
     "q18_cosine_topk" -> (Q.qCosineTopK _),
     "q19_ann_lsh" -> (Q.qAnnLsh _),
     "q31_embed_dedup" -> (Q.qEmbedDedup _),
+    "q32_ann_ivf" -> (Q.qAnnIvf _),
     // text analysis
     "q20_lang_id" -> (Q.qLangId _),
     "q21_quality" -> (Q.qQuality _),

@@ -101,6 +101,13 @@ dsh AS (
     graft.ops.Dedup.mixConsts(16).zipWithIndex
       .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }.mkString(", ")
 
+  /** q32's IVF centroids, inlined exactly like [[lshPlaneValues]]. */
+  private val ivfCentroidValues: String =
+    (0 until 16).map { j =>
+      val v = graft.ops.Ann.ivfCentroid("ivf", j, 64)
+      s"($j, [${v.map(f => f.toDouble.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n")
+
   private val enStop = graft.ops.TextMetrics.enStop.map(s => s"'$s'").mkString(", ")
   private val deStop = graft.ops.TextMetrics.deStop.map(s => s"'$s'").mkString(", ")
   private val frStop = graft.ops.TextMetrics.frStop.map(s => s"'$s'").mkString(", ")
@@ -259,6 +266,36 @@ dsh AS (
       |              ON ok.t = b.t AND ok.bucket = b.bucket),
       |cand AS (SELECT DISTINCT l.vec_id AS qid, r.vec_id AS kid
       |         FROM buckets l JOIN buckets r ON r.t = l.t AND r.bucket = l.bucket AND l.vec_id <> r.vec_id),
+      |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv FROM ev GROUP BY vec_id),
+      |cd AS (SELECT c.qid, c.kid, sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      |       FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.kid AND b.i = a.i
+      |       GROUP BY c.qid, c.kid),
+      |scored AS (SELECT cd.qid, cd.kid, cd.dot / (na.nv * nb.nv) AS score
+      |           FROM cd JOIN nrm na ON na.vec_id = cd.qid JOIN nrm nb ON nb.vec_id = cd.kid)
+      |SELECT qid, kid, rank FROM (
+      |  SELECT qid, kid, CAST(row_number() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, CAST(kid AS VARCHAR) ASC) AS INTEGER) AS rank
+      |  FROM scored) WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin,
+
+    // q32 — IVF ANN: nearest-centroid cells (row_number d DESC, j ASC ==
+    // Spark's first-index argmax), nProbe=4 probed cells per query, exact
+    // cosine + top-10 inside the probed cells. Centroid literals inlined
+    // from Ann.ivfCentroid; assignment margins (≥1e-5) dwarf summation
+    // noise, see DocQueries.qAnnIvf.
+    "q32_ann_ivf" -> s"""
+      |WITH cent0(j, w) AS (VALUES
+      |$ivfCentroidValues),
+      |cent AS (SELECT j, unnest(w) AS w, generate_subscripts(w, 1) AS i FROM cent0),
+      |ev AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |dots AS (SELECT e.vec_id, c.j, sum(CAST(e.x AS DOUBLE) * c.w) AS d
+      |         FROM ev e JOIN cent c ON c.i = e.i GROUP BY e.vec_id, c.j),
+      |ranked AS (SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id
+      |             ORDER BY d DESC, j ASC) AS rn FROM dots),
+      |cells AS (SELECT vec_id, j AS cell FROM ranked WHERE rn = 1),
+      |probes AS (SELECT vec_id, j AS cell FROM ranked WHERE rn <= 4),
+      |cand AS (SELECT p.vec_id AS qid, c.vec_id AS kid
+      |         FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.vec_id),
       |nrm AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nv FROM ev GROUP BY vec_id),
       |cd AS (SELECT c.qid, c.kid, sum(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
       |       FROM cand c JOIN ev a ON a.vec_id = c.qid JOIN ev b ON b.vec_id = c.kid AND b.i = a.i

@@ -71,6 +71,49 @@ object Ann {
         .select("tbl", "bucket")), Seq("tbl", "bucket"), "left_semi")
     }
 
+  /** Deterministic IVF centroid j (hash-seeded unit vector). */
+  def ivfCentroid(seed: String, j: Int, dim: Int): Array[Float] =
+    Embeddings.hashUnit(s"$seed:$j", dim)
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * [[lshTopK]]: `nCells` deterministic hash-seeded unit centroids
+    * partition the key side into cells (exact nearest-centroid
+    * assignment, NO shuffle — an argmax over an in-row score array);
+    * each query probes its `nProbe` nearest cells and scores exactly
+    * inside them. Candidate volume ≈ nProbe·N/nCells per query instead
+    * of N; at web scale grow nCells ~ √N so assignment (O(N·C·d)) and
+    * probing (O(Q·nProbe·N/C·d)) stay balanced. Output shape matches
+    * [[lshTopK]]: (qid, kid, score, rank), rank ≤ k per qid in
+    * (score desc, kid asc) order.
+    */
+  def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+              nCells: Int, nProbe: Int, dim: Int,
+              seed: String = "ivf"): DataFrame = {
+    val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cscores", array((0 until nCells).map(j =>
+        VectorOps.dot(col("v"), typedLit(ivfCentroid(seed, j, dim)))): _*))
+    // argmax cell: first index of the max (ties → smallest j, matching
+    // the oracle's row_number ORDER BY d DESC, j ASC)
+    val keyed = base
+      .withColumn("cell",
+        (expr("array_position(cscores, array_max(cscores))") - 1).cast("int"))
+      .select(col("cell"), col("id").as("kid"), col("v").as("kvec"))
+    // nProbe nearest cells per query: sort (−score, j) structs ascending
+    // == (score desc, j asc), slice, project j
+    val pairs = transform(sequence(lit(0), lit(nCells - 1)),
+      j => struct((element_at(col("cscores"), j + 1) * -1).as("ns"), j.as("j")))
+    val probed = base
+      .withColumn("cell", explode(transform(slice(array_sort(pairs), 1, nProbe),
+        s => s.getField("j").cast("int"))))
+      .select(col("cell"), col("id").as("qid"), col("v").as("qvec"))
+    val cand = probed.join(keyed, Seq("cell"))
+      .where(col("qid") =!= col("kid"))
+    val scored = cand.select(col("qid"), col("kid"),
+      VectorOps.cosine(col("qvec"), col("kvec")).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("kid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   def lshTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               nPlanes: Int, dim: Int, tables: Int = 4,
               maxBucket: Int = 0): DataFrame = {

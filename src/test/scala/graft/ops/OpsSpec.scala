@@ -119,6 +119,27 @@ class OpsSpec extends SparkSpec {
     assert(uncapped.exists { case (q, k) => q.startsWith("h") && k.startsWith("h") })
   }
 
+  test("IVF ANN: clustered vectors stay findable through probed cells") {
+    val vecs = (0 until 60).map { i =>
+      val c = Embeddings.hashUnit(s"center${i / 20}", 32)
+      val j = Embeddings.hashUnit(s"jitter$i", 32)
+      (i.toString, c.zip(j).map { case (a, b) => a + 0.15f * b })
+    }.toDF("id", "v")
+    val queries = vecs.select(col("id").as("qid"), col("v").as("qvec"))
+    val keys = vecs.select(col("id").as("kid"), col("v").as("kvec"))
+    val exact = Ann.bruteForceTopK(queries, keys, k = 5)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    val ivf = Ann.ivfTopK(vecs, "id", "v", k = 5, nCells = 8, nProbe = 3, dim = 32)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.6, s"IVF recall too low: $recall")
+    // determinism: assignment is a pure function of the (hash-seeded)
+    // centroids — a second run is identical
+    val again = Ann.ivfTopK(vecs, "id", "v", k = 5, nCells = 8, nProbe = 3, dim = 32)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    assert(ivf == again)
+  }
+
   test("embedding near-dup groups: transitive clusters, singletons keep themselves") {
     def jig(center: String, i: Int): Array[Float] = {
       val c = Embeddings.hashUnit(center, 16)
