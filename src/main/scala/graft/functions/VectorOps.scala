@@ -22,12 +22,20 @@ object VectorOps {
       lit(0.0), (acc, v) => acc + v)
 
   /** Cosine for unit vectors == dot; general cosine divides by norms. */
-  def cosine(a: Column, b: Column): Column = {
-    val num = dot(a, b)
-    val na = sqrt(dot(a, a))
-    val nb = sqrt(dot(b, b))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(num / (na * nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, sqrt(dot(a, a)), sqrt(dot(b, b)))
+
+  /** [[cosine]] with the norms PRECOMPUTED as per-vector columns: the
+    * pair-heavy operators (KNN, ANN, near-dup) otherwise re-scan each
+    * array twice per CANDIDATE PAIR for its own norm — hoisting them to
+    * the per-vector side cuts pair scoring to one dot. Numerically
+    * identical to [[cosine]] (same IEEE ops, just evaluated earlier).
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+  /** L2 norm column for [[cosineWithNorms]] hoisting. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** min-max normalize a column over the whole frame, reproducing the
     * reference edge case: zero range → all ones

@@ -32,10 +32,17 @@ object Ann {
     math.min(24, math.max(minPlanes, needed))
   }
 
-  /** Exact cosine top-k (general vectors: normalizes by both norms). */
+  /** Exact cosine top-k (general vectors: normalizes by both norms).
+    * Norms are hoisted to per-vector columns BEFORE the join so each
+    * candidate pair costs one dot, not three array passes.
+    */
   def bruteForceTopK(queries: DataFrame, keys: DataFrame, k: Int,
-                     excludeSelf: Boolean = true): DataFrame =
-    Knn.topK(queries, keys, k, excludeSelf, score = VectorOps.cosine)
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.withColumn("__qn", VectorOps.norm(col("qvec")))
+    val kk = keys.withColumn("__kn", VectorOps.norm(col("kvec")))
+    Knn.topK(q, kk, k, excludeSelf,
+      score = (a, b) => VectorOps.cosineWithNorms(a, b, col("__qn"), col("__kn")))
+  }
 
   /** Sign-bucket signature: bit j = [dot(v, plane_j) > 0]. */
   def lshBuckets(vecs: DataFrame, vecCol: String, nPlanes: Int, dim: Int,
@@ -90,6 +97,7 @@ object Ann {
               nCells: Int, nProbe: Int, dim: Int,
               seed: String = "ivf"): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", VectorOps.norm(col("v"))) // hoisted per-vector norm
       .withColumn("cscores", array((0 until nCells).map(j =>
         VectorOps.dot(col("v"), typedLit(ivfCentroid(seed, j, dim)))): _*))
     // argmax cell: first index of the max (ties → smallest j, matching
@@ -97,7 +105,7 @@ object Ann {
     val keyed = base
       .withColumn("cell",
         (expr("array_position(cscores, array_max(cscores))") - 1).cast("int"))
-      .select(col("cell"), col("id").as("kid"), col("v").as("kvec"))
+      .select(col("cell"), col("id").as("kid"), col("v").as("kvec"), col("n").as("kn"))
     // nProbe nearest cells per query: sort (−score, j) structs ascending
     // == (score desc, j asc), slice, project j
     val pairs = transform(sequence(lit(0), lit(nCells - 1)),
@@ -105,11 +113,12 @@ object Ann {
     val probed = base
       .withColumn("cell", explode(transform(slice(array_sort(pairs), 1, nProbe),
         s => s.getField("j").cast("int"))))
-      .select(col("cell"), col("id").as("qid"), col("v").as("qvec"))
+      .select(col("cell"), col("id").as("qid"), col("v").as("qvec"), col("n").as("qn"))
     val cand = probed.join(keyed, Seq("cell"))
       .where(col("qid") =!= col("kid"))
     val scored = cand.select(col("qid"), col("kid"),
-      VectorOps.cosine(col("qvec"), col("kvec")).as("score"))
+      VectorOps.cosineWithNorms(col("qvec"), col("kvec"),
+        col("qn"), col("kn")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("kid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
@@ -118,19 +127,22 @@ object Ann {
               nPlanes: Int, dim: Int, tables: Int = 4,
               maxBucket: Int = 0): DataFrame = {
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("n", VectorOps.norm(col("v"))) // hoisted: one norm per vector, not per pair
     val bucketed0 = (0 until tables).map { t =>
       lshBuckets(base, "v", nPlanes, dim, seed = s"lsh$t")
-        .select(lit(t).as("tbl"), col("bucket"), col("id"), col("v"))
+        .select(lit(t).as("tbl"), col("bucket"), col("id"), col("v"), col("n"))
     }.reduce(_ unionAll _)
     val bucketed = capBuckets(bucketed0, maxBucket)
-    val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("qid"), col("v").as("qv"))
-    val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("kid"), col("v").as("kv"))
+    val l = bucketed.select(col("tbl"), col("bucket"), col("id").as("qid"),
+      col("v").as("qv"), col("n").as("qn"))
+    val r = bucketed.select(col("tbl"), col("bucket"), col("id").as("kid"),
+      col("v").as("kv"), col("n").as("kn"))
     val cand = l.join(r, Seq("tbl", "bucket"))
       .where(col("qid") =!= col("kid"))
-      .select("qid", "kid", "qv", "kv")
+      .select("qid", "kid", "qv", "kv", "qn", "kn")
       .dropDuplicates("qid", "kid") // union over tables
     val scored = cand.select(col("qid"), col("kid"),
-      VectorOps.cosine(col("qv"), col("kv")).as("score"))
+      VectorOps.cosineWithNorms(col("qv"), col("kv"), col("qn"), col("kn")).as("score"))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("kid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

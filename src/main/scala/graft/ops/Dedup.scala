@@ -204,11 +204,14 @@ object Dedup {
                              tau: Double): DataFrame = {
     import graft.functions.VectorOps
     val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qn", VectorOps.norm(col("qvec")))
     val k = vecs.select(col(idCol).as("kid"), col(vecCol).as("kvec"))
+      .withColumn("kn", VectorOps.norm(col("kvec")))
     val pairs = k.join(broadcast(q))
       .where(col("qid") < col("kid"))
       .select(col("qid"), col("kid"),
-        VectorOps.cosine(col("qvec"), col("kvec")).as("score"))
+        VectorOps.cosineWithNorms(col("qvec"), col("kvec"),
+          col("qn"), col("kn")).as("score"))
       .where(col("score") >= tau)
     val arcs = pairs.select(col("qid").as("src"), col("kid").as("dst"))
       .unionAll(pairs.select(col("kid").as("src"), col("qid").as("dst")))
