@@ -33,6 +33,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_dot"), "codegen dot expression missing from plan")
   }
 
+  test("IVF cell assignment is shuffle-free (in-row argmax, no Exchange)") {
+    import spark.implicits._
+    val vecs = (0 until 8).map(i => (i.toString, Array.fill(16)(i.toFloat)))
+      .toDF("id", "v")
+    // Reproduce ivfTopK's key-side assignment shape and assert the plan is
+    // a pure projection over the scan — the cell id must never cost a
+    // shuffle (the candidate JOIN shuffles by cell; assignment must not).
+    val cents = (0 until 8).map(j => typedLit(graft.ops.Ann.ivfCentroid("ivf", j, 16)))
+    val keyed = vecs
+      .withColumn("cscores", array(cents.map(c =>
+        graft.functions.VectorOps.dot(col("v"), c)): _*))
+      .withColumn("cell",
+        (expr("array_position(cscores, array_max(cscores))") - 1).cast("int"))
+      .select("id", "cell")
+    val plan = planOf(keyed)
+    assert(!plan.contains("Exchange"), s"IVF assignment shuffled:\n$plan")
+  }
+
   test("dedup/groupBy plans use partial (map-side) aggregation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(graft.ops.Dedup.exact(docs, "text", "doc_id"))
