@@ -70,6 +70,7 @@ object SparkEntry {
     "q27_ppr" -> (Q.qPpr _),
     "q27b_lpa" -> (Q.qLpa _),
     "q27c_ppr_fixed" -> (Q.qPprFixed _),
+    "q33_pagerank_global" -> (Q.qPagerankGlobal _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

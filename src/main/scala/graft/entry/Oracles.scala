@@ -512,6 +512,41 @@ dsh AS (
         |SELECT v AS entity_id, round(x, 9) AS score FROM pr WHERE i = 30
         |ORDER BY entity_id""".stripMargin),
 
+    // q33 — global PageRank: q27c's fixed-sweep CTE with a UNIFORM reset
+    // p(v) = 1/N (20 sweeps). Dangling/isolated vertices now matter from
+    // sweep 0 (they carry 1/N mass) — same window-danglesum machinery.
+    "q33_pagerank_global" -> q(
+      """, av2 AS (SELECT src, dst, weight FROM symarcs
+        |        UNION ALL
+        |        SELECT v, v, CAST(0 AS DOUBLE) FROM ents),
+        |od AS (SELECT src, sum(weight) AS ow FROM symarcs GROUP BY src),
+        |pv AS (SELECT e.v,
+        |              CAST(1 AS DOUBLE) / (SELECT count(*) FROM ents) AS p
+        |       FROM ents e),
+        |pr(i, v, x) AS (
+        |  SELECT 0, p.v, p.p FROM pv p
+        |  UNION ALL
+        |  SELECT g.i + 1, g.vid,
+        |         CAST(0.5 * (g.contrib + g.ds * p2.p) + 0.5 * p2.p AS DOUBLE)
+        |  FROM (
+        |    SELECT e.i AS i, e.dst AS vid,
+        |           sum(CASE WHEN e.weight = 0 OR e.ow IS NULL THEN CAST(0 AS DOUBLE)
+        |                    ELSE e.x * e.weight / e.ow END) AS contrib,
+        |           max(e.ds) AS ds
+        |    FROM (
+        |      SELECT l.i, l.x, a.src, a.dst, a.weight, o.ow,
+        |             sum(CASE WHEN o.src IS NULL THEN l.x ELSE CAST(0 AS DOUBLE) END)
+        |               OVER (PARTITION BY l.i) AS ds
+        |      FROM pr l
+        |      JOIN av2 a ON a.src = l.v
+        |      LEFT JOIN od o ON o.src = a.src
+        |      WHERE l.i < 20
+        |    ) e
+        |    GROUP BY e.i, e.dst
+        |  ) g JOIN pv p2 ON p2.v = g.vid)
+        |SELECT v AS entity_id, round(x, 9) AS score FROM pr WHERE i = 20
+        |ORDER BY entity_id""".stripMargin),
+
     "q26_degrees" -> q(
       """SELECT src AS entity_id, round(sum(weight), 6) AS wdegree,
         |       count(*) AS degree
