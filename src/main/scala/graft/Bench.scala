@@ -243,7 +243,7 @@ object Bench {
       "q05_triples", "q06_fact_edges", "q14_dedup_exact", "q15_minhash_lsh",
       "q16_simhash", "q17_ngram_jaccard", "q18_cosine_topk", "q20_lang_id",
       "q24_connected_components", "q25_triangles", "q27_ppr",
-      "q27c_ppr_fixed", "q31_embed_dedup", "q32_ann_ivf")
+      "q27c_ppr_fixed", "q31_embed_dedup", "q32_ann_ivf", "q33_pagerank_global")
     val spark1 = session(cpus, cpus)
     val qTimes: Seq[(String, Double)] =
       if (skipHeadline) Seq.empty

@@ -95,11 +95,23 @@ object Ann {
     */
   def ivfTopK(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
               nCells: Int, nProbe: Int, dim: Int,
-              seed: String = "ivf"): DataFrame = {
+              seed: String = "ivf"): DataFrame =
+    ivfTopKWith(vecs, idCol, vecCol, k,
+      (0 until nCells).map(j => ivfCentroid(seed, j, dim)), nProbe)
+
+  /** [[ivfTopK]] with CALLER-SUPPLIED centroids: the hash-seeded defaults
+    * are data-independent (deterministic, oracle-portable); a deployment
+    * that trains centroids (k-means over a sample) passes them here — the
+    * cell/probe machinery is identical, only the partition quality
+    * changes.
+    */
+  def ivfTopKWith(vecs: DataFrame, idCol: String, vecCol: String, k: Int,
+                  centroids: Seq[Array[Float]], nProbe: Int): DataFrame = {
+    val nCells = centroids.length
     val base = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("n", VectorOps.norm(col("v"))) // hoisted per-vector norm
-      .withColumn("cscores", array((0 until nCells).map(j =>
-        VectorOps.dot(col("v"), typedLit(ivfCentroid(seed, j, dim)))): _*))
+      .withColumn("cscores", array(centroids.map(c =>
+        VectorOps.dot(col("v"), typedLit(c))): _*))
     // argmax cell: first index of the max (ties → smallest j, matching
     // the oracle's row_number ORDER BY d DESC, j ASC)
     val keyed = base
