@@ -46,6 +46,15 @@ object TextOps {
     trim(regexp_replace(noArticles, "\\s+", " "))
   }
 
+  /** difflib `SequenceMatcher.ratio` as a codegen column (J7 — the
+    * reference's rerank match-back maps LLM-returned fact strings onto
+    * candidates with difflib, reference src/hipporag/rerank.py; the LLM
+    * call itself stays out of scope, the matching arithmetic does not).
+    * Golden-tested against difflib's own outputs in CoreSpec.
+    */
+  def sequenceRatio(a: Column, b: Column): Column =
+    graftx.column(graftx.SequenceRatio(graftx.expression(a), graftx.expression(b)))
+
   /** Character n-gram set (sorted distinct) of a string — used for the
     * deterministic trigram-similarity embedding substitute (FIXTURES.md §2).
     */

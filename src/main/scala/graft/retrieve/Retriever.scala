@@ -271,6 +271,26 @@ object Retriever {
     merged.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
   }
 
+  /** J7 — fuzzy rerank match-back (reference rerank.py: the LLM filter
+    * returns fact STRINGS, and difflib maps each back onto the candidate
+    * it came from). Per returned row: the candidate with the highest
+    * difflib ratio (ties → smaller cid; the reference's first-max order
+    * over a python list is insertion-dependent). The candidate set is the
+    * per-query link_top_k facts — tiny — so it broadcasts.
+    * @param returned   (rid, rtext)  @param candidates (cid, ctext)
+    * @return (rid, cid, ratio) — one row per rid with ratio ≥ minRatio
+    */
+  def fuzzyMatchBack(returned: DataFrame, candidates: DataFrame,
+                     minRatio: Double = 0.0): DataFrame = {
+    val scored = returned.crossJoin(broadcast(candidates))
+      .withColumn("ratio",
+        graft.core.TextOps.sequenceRatio(col("rtext"), col("ctext")))
+      .where(col("ratio") >= minRatio)
+    val w = Window.partitionBy("rid").orderBy(col("ratio").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("rid", "cid", "ratio")
+  }
+
   /** StandardRAG / DPR-only ranking (reference StandardRAG.py:422-429, W1):
     * full ordering of passages by normalized dense score.
     */

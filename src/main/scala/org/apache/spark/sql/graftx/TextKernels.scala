@@ -154,6 +154,87 @@ object TextKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Python difflib `SequenceMatcher(None, a, b).ratio()` — 2·M/(|a|+|b|)
+    * where M is the total length of the matching blocks found by the
+    * recursive longest-matching-block algorithm (ties → earliest in a,
+    * then earliest in b), including difflib's autojunk rule (for |b| ≥
+    * 200, characters occurring more than |b|/100 + 1 times in b are
+    * dropped from the index). Operates on UTF-16 code units like Java
+    * String — identical to Python codepoints except astral-plane chars
+    * (absent from normalized fact strings). Golden-tested against
+    * difflib's own outputs.
+    */
+  def seqRatio(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString
+    val b = ub.toString
+    val la = a.length
+    val lb = b.length
+    if (la + lb == 0) return 1.0
+    val b2j = new java.util.HashMap[Character, java.util.ArrayList[Integer]]()
+    var j = 0
+    while (j < lb) {
+      b2j.computeIfAbsent(b.charAt(j), _ => new java.util.ArrayList[Integer]).add(j)
+      j += 1
+    }
+    if (lb >= 200) { // difflib autojunk: drop popular characters
+      val limit = lb / 100 + 1
+      val it = b2j.values().iterator()
+      while (it.hasNext) if (it.next().size() > limit) it.remove()
+    }
+    var matched = 0
+    val stack = new java.util.ArrayDeque[Array[Int]]()
+    stack.push(Array(0, la, 0, lb))
+    while (!stack.isEmpty) {
+      val region = stack.pop()
+      val alo = region(0); val ahi = region(1); val blo = region(2); val bhi = region(3)
+      var besti = alo
+      var bestj = blo
+      var bestsize = 0
+      var j2len = new java.util.HashMap[Integer, Integer]()
+      var i = alo
+      while (i < ahi) {
+        val newj2len = new java.util.HashMap[Integer, Integer]()
+        val positions = b2j.get(a.charAt(i))
+        if (positions != null) {
+          val pit = positions.iterator()
+          var stop = false
+          while (pit.hasNext && !stop) {
+            val jj = pit.next().intValue()
+            if (jj >= bhi) stop = true
+            else if (jj >= blo) {
+              val prev = j2len.get(Integer.valueOf(jj - 1))
+              val k = (if (prev == null) 0 else prev.intValue()) + 1
+              newj2len.put(jj, k)
+              if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
+            }
+          }
+        }
+        j2len = newj2len
+        i += 1
+      }
+      // difflib's extension steps: characters dropped from the index
+      // (autojunk-popular) are invisible to the scan above, so the best
+      // (possibly EMPTY) block is extended over equal characters on both
+      // ends. The junk-only extension loops are no-ops here because the
+      // isjunk predicate in this engine's surface is always None.
+      while (besti > alo && bestj > blo &&
+          a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+          a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
+      if (bestsize > 0) {
+        matched += bestsize
+        if (alo < besti && blo < bestj) stack.push(Array(alo, besti, blo, bestj))
+        if (besti + bestsize < ahi && bestj + bestsize < bhi)
+          stack.push(Array(besti + bestsize, ahi, bestj + bestsize, bhi))
+      }
+    }
+    2.0 * matched / (la + lb)
+  }
+
   /** regexp_replace(s, "[A-Z][A-Za-z0-9]*", " ") */
   def capRunsToSpace(s: UTF8String): UTF8String = {
     val in = s.getBytes
@@ -221,6 +302,22 @@ case class CapRuns(child: Expression) extends TextKernelExpression {
   override protected def staticCall(c: String): String =
     s"org.apache.spark.sql.graftx.TextKernels.capRuns($c)"
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Binary codegen expression: difflib ratio (J7 fuzzy match-back). */
+case class SequenceRatio(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_seq_ratio"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.seqRatio(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = org.apache.spark.sql.graftx.TextKernels.seqRatio($l, $r);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 case class CapRunsToSpace(child: Expression) extends TextKernelExpression {

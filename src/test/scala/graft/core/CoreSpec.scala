@@ -92,6 +92,73 @@ class CoreSpec extends SparkSpec {
       regexp_replace(col("s"), "[A-Z][A-Za-z0-9]*", " "))
   }
 
+  test("sequenceRatio == python difflib SequenceMatcher.ratio (goldens)") {
+    // expected values generated with CPython difflib (autojunk default)
+    val cases = Seq(
+      ("", "", 1.0),
+      ("", "abc", 0.0),
+      ("abc", "", 0.0),
+      ("abc", "abc", 1.0),
+      ("alice visited paris", "alice visited paris", 1.0),
+      ("alice visited paris", "alice visits paris", 0.918918918918919),
+      ("the quick brown fox", "quick brown foxes", 0.8333333333333334),
+      ("abcdef", "fedcba", 0.16666666666666666),
+      ("aaaa", "aa", 0.6666666666666666),
+      ("('alice', 'visited', 'paris')", "('alice', 'visited', 'rome')", 0.8771929824561403),
+      ("graph memory engine", "graph-memory engine!", 0.9230769230769231),
+      ("abab", "baba", 0.75),
+      ("xyzzy", "zzyzx", 0.6),
+      ("montebello links paris", "montebellos cites paris", 0.8444444444444444),
+      ("a b c d e", "e d c b a", 0.3333333333333333),
+      // random CPython-generated pairs (seed 42, alphabet "abcab ")
+      ("aa cbbb a  babaaaabb", "babb   bababcab ", 0.6666666666666666),
+      ("ccbbcaaaaccbc", "a abaaabc bcbb aa bcabaac", 0.47368421052631576),
+      (" cbccb c   ab ", "b bba", 0.3157894736842105),
+      ("c  bb cabaca", "abb cb a", 0.5),
+      (" abcbb bbc b", "bacbbbaaaab b", 0.48),
+      (" abaaababcba  a bc cacaba", "", 0.0),
+      ("  cbbba c bbbbcbbbabcaaaccbabb", "aa aabbb abbcbbabb  b ca  caba", 0.43333333333333335),
+      ("bba", "abbbbbaa  ", 0.46153846153846156),
+      ("b", "ac", 0.0),
+      ("bb", " abbb bb", 0.4),
+      ("baabaa acaaa a ", " aaa cabbbbababcabaa", 0.34285714285714286),
+      ("baa baabbaaabaabaaacaca  ", "b  abbcbab ba caababbbaba", 0.48),
+      ("baba baabbbbabaa bbbccb  cb", "ab  caca", 0.2857142857142857),
+      ("", "bbaabbbcbcabcc", 0.0),
+      ("ab cb", " ba bc abcaa bbccbb cb  c", 0.3333333333333333),
+      ("acaa acaacb cb a", " abaaa bbacbbbaba", 0.5454545454545454),
+      ("cacb b ac", "bab bbbbaab ca  bcb aaaa", 0.36363636363636365),
+      ("baccbba", "baccacc ba bcaacbbcaa", 0.5),
+      ("ac cabbaabbca aabb ", "   bcaa cbc a cbc aca c", 0.38095238095238093),
+      ("bba a  bbbcabaccb", "bb caaa bba b", 0.3333333333333333),
+      ("acb  bcab cbbbaababaa", " bb  aaabb  a", 0.47058823529411764),
+      ("aabb baabbaaba bbbcab babab ", "aacb cba bcaa cbcccbabbba b", 0.5454545454545454),
+      ("baaacbaaabaab abaaacca", "ab  bbbabcaaaac  a babbbaab", 0.4489795918367347),
+      (" aa ababacacbaccac", "acaaa bacb a aabbabbbba ", 0.38095238095238093),
+      // autojunk regime (|b| >= 200): popular chars drop out of the
+      // index; the extension steps must still re-attach them
+      ("ab" * 150, "ab" * 150 + "c" * 20, 0.967741935483871),
+      ("abcab" * 50, "abcba" * 50, 0.012),
+      ("x" * 250, "x" * 100 + "y" * 100, 0.4444444444444444))
+    val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
+      .select(TextOps.sequenceRatio(col("a"), col("b"))).as[Double].collect()
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(math.abs(g - want) < 1e-15,
+        s"ratio('${a.take(30)}','${b.take(30)}') = $g, want $want")
+    }
+  }
+
+  test("fuzzy match-back picks the highest-ratio candidate per returned row (J7)") {
+    val returned = Seq((1L, "alice visited pariss"), (2L, "bob founded acme inc"))
+      .toDF("rid", "rtext")
+    val candidates = Seq((10L, "alice visited paris"), (11L, "bob founded acme"),
+        (12L, "carol cites alice"))
+      .toDF("cid", "ctext")
+    val got = graft.retrieve.Retriever.fuzzyMatchBack(returned, candidates)
+      .collect().map(r => r.getAs[Long]("rid") -> r.getAs[Long]("cid")).toMap
+    assert(got == Map(1L -> 10L, 2L -> 11L))
+  }
+
   test("codegen'd dot product equals builtin composition") {
     import graft.functions.VectorOps
     val df = (0 until 50).map { i =>
