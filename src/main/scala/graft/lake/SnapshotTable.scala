@@ -1,26 +1,51 @@
 package graft.lake
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 
-/** Minimal Iceberg-STYLE snapshot table: partitioned Parquet + a commit
-  * marker per snapshot. No Iceberg runtime jar exists in this image
-  * (SURVEY.md §7.1), so this layer provides the three properties the
+/** Minimal Iceberg-STYLE snapshot table: immutable Parquet segments + an
+  * atomic manifest marker per snapshot. No Iceberg runtime jar exists in
+  * this image (SURVEY.md §7.1), so this layer provides the properties the
   * engine needs and nothing more:
   *
-  *   - atomic commit: `snap=<k>/_COMMITTED` is written after the data; a
-  *     reader never sees a half-written snapshot;
+  *   - atomic commit: `snap=<k>/_COMMITTED` (the manifest) is written
+  *     after the data; a reader never sees a half-written snapshot;
   *   - time travel: `readAt(k)` pins any committed snapshot; `read()` is
   *     the latest one;
-  *   - lineage: the marker records the producing operation and row count.
+  *   - lineage: the manifest records the producing op and row/delta counts;
+  *   - **O(Δ) maintenance commits** (round-3 verdict #1): a snapshot is an
+  *     ORDERED list of segment entries — data segments and TOMBSTONE
+  *     segments (key lists). [[commitAppend]] writes only the delta rows;
+  *     [[commitDelta]] writes a tombstone (+ optional replacement rows).
+  *     Bytes written scale with the delta, not the table (tested:
+  *     LifecycleSpec's bytes-written probe). Reading folds the entries in
+  *     order: a tombstone anti-joins everything before it.
   *
-  * It is deliberately NOT Iceberg-compatible (documented honesty —
-  * SURVEY.md §7.6): full snapshot per commit, no manifests-of-manifests.
-  * The reference's analogous layer is a pandas full-rewrite Parquet store
-  * (src/hipporag/embedding_store.py:160-174) plus a pickled graph.
+  * Row counts come from the WRITE job's own observed metrics
+  * ([[Observation]]) — never from re-scanning the just-written snapshot
+  * (the old full-rewrite commit paid a second full read per commit).
+  *
+  * Reads chain one anti-join per tombstone, so a long maintenance history
+  * degrades scan plans; past [[maxEntries]] segments a commit folds into
+  * a full compaction automatically ([[compact]] is also callable
+  * directly). It is deliberately NOT Iceberg-compatible (documented
+  * honesty — SURVEY.md §7.6). The reference's analogous layer is a pandas
+  * full-rewrite Parquet store (src/hipporag/embedding_store.py:160-174)
+  * plus a pickled graph.
+  *
+  * @param maxEntries segment-list length that triggers auto-compaction on
+  *                   the next delta commit (bounds read-plan depth).
   */
-class SnapshotTable(val spark: SparkSession, val root: String) {
+class SnapshotTable(val spark: SparkSession, val root: String,
+                    val maxEntries: Int = 32) {
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One manifest entry: a data segment, or a tombstone keyed by `keys`. */
+  case class Entry(dir: String, kind: String, keys: Seq[String])
+
+  case class Manifest(snapshot: Int, op: String, rows: Long,
+                      appended: Long, removedKeys: Long, entries: Seq[Entry])
 
   private def snapPath(k: Int) = s"$root/snap=$k"
   private def marker(k: Int) = new Path(s"${snapPath(k)}/_COMMITTED")
@@ -39,25 +64,180 @@ class SnapshotTable(val spark: SparkSession, val root: String) {
 
   def isEmpty: Boolean = currentSnapshot.isEmpty
 
-  /** Write `df` as the next snapshot; returns its id. Marker written last. */
-  def commit(df: DataFrame, op: String): Int = {
-    val next = currentSnapshot.getOrElse(0) + 1
-    val dataDir = s"${snapPath(next)}/data"
-    df.write.mode(SaveMode.Overwrite).parquet(dataDir)
-    val rows = spark.read.parquet(dataDir).count()
-    val out = fs.create(marker(next), true)
-    out.write(s"""{"snapshot":$next,"op":"$op","rows":$rows}""".getBytes("UTF-8"))
+  /** Parse the manifest of snapshot `k` (json4s ships inside Spark). */
+  def manifest(k: Int): Manifest = {
+    require(fs.exists(marker(k)), s"snapshot $k not committed under $root")
+    val in = fs.open(marker(k))
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val j = JsonMethods.parse(txt)
+    Manifest(
+      snapshot = (j \ "snapshot").extract[Int],
+      op = (j \ "op").extract[String],
+      rows = (j \ "rows").extract[Long],
+      appended = (j \ "appended").extractOrElse[Long](0L),
+      removedKeys = (j \ "removed_keys").extractOrElse[Long](0L),
+      entries = (j \ "entries") match {
+        case JArray(es) => es.map { e =>
+          Entry((e \ "dir").extract[String], (e \ "kind").extract[String],
+            (e \ "keys") match {
+              case JArray(ks) => ks.map(_.extract[String])
+              case _ => Seq.empty
+            })
+        }
+        case _ => Seq.empty
+      })
+  }
+
+  private def writeMarker(m: Manifest): Unit = {
+    def jstr(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val entries = m.entries.map { e =>
+      s"""{"dir":${jstr(e.dir)},"kind":${jstr(e.kind)},"keys":[${e.keys.map(jstr).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"snapshot":${m.snapshot},"op":${jstr(m.op)},"rows":${m.rows},""" +
+      s""""appended":${m.appended},"removed_keys":${m.removedKeys},"entries":$entries}"""
+    val out = fs.create(marker(m.snapshot), true)
+    out.write(json.getBytes("UTF-8"))
     out.close()
+  }
+
+  /** Write `df` as an immutable segment; returns (relative dir, observed
+    * row count) — the count comes from the write job itself, no re-scan.
+    * `keepEmpty` keeps a zero-row segment (full commits of an empty state
+    * are legitimate and Spark writes a schema-carrying empty file);
+    * delta paths drop empty segments instead of chaining no-op entries.
+    */
+  private def writeSegment(df: DataFrame, role: String, snap: Int,
+                           keepEmpty: Boolean): (String, Long) = {
+    val rel = s"seg/$snap-$role"
+    val obs = Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$rel")
+    val n = obs.get("rows").asInstanceOf[Long]
+    if (n == 0L && !keepEmpty) fs.delete(new Path(s"$root/$rel"), true)
+    (rel, n)
+  }
+
+  private def nextSnap: Int = currentSnapshot.getOrElse(0) + 1
+
+  /** Full-rewrite commit: the snapshot becomes ONE data segment holding
+    * exactly `df`. Use for from-scratch (re)builds; maintenance paths use
+    * [[commitAppend]]/[[commitDelta]]. Returns the snapshot id.
+    */
+  def commit(df: DataFrame, op: String): Int = {
+    val next = nextSnap
+    val (dir, n) = writeSegment(df, "data", next, keepEmpty = true)
+    writeMarker(Manifest(next, op, n, appended = n, removedKeys = 0L,
+      Seq(Entry(dir, "data", Seq.empty))))
     next
   }
+
+  /** O(Δ) append: only `delta` is written; the manifest extends the
+    * parent's entry list. Appended keys must be NEW (nothing tombstones
+    * or deduplicates them — the engine's maintenance deltas are disjoint
+    * by construction, e.g. content-hashed chunk ids).
+    */
+  def commitAppend(delta: DataFrame, op: String): Int =
+    commitDelta(Some(delta), None, Seq.empty, op)
+
+  /** O(Δ) replace/remove: rows matching `deleteKeys` (on `keyCols`)
+    * disappear, then `append` rows (if any) land on top. Bytes written =
+    * O(|append| + |deleteKeys|). Auto-compacts (one full rewrite) when
+    * the parent's entry list exceeds [[maxEntries]].
+    */
+  def commitDelta(append: Option[DataFrame], deleteKeys: Option[DataFrame],
+                  keyCols: Seq[String], op: String): Int = {
+    require(deleteKeys.isEmpty || keyCols.nonEmpty,
+      "tombstone commits need explicit key columns")
+    val parent = currentSnapshot.map(manifest)
+    val parentEntries = parent.map(_.entries).getOrElse(Seq.empty)
+    if (parentEntries.size >= maxEntries) {
+      // Fold history: compact the would-be result into one segment.
+      val base = assemble(parentEntries)
+        .getOrElse(throw new IllegalStateException(s"empty manifest under $root"))
+      val afterDelete = deleteKeys match {
+        case Some(dk) => base.join(dk.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
+        case None => base
+      }
+      val full = append match {
+        case Some(a) => afterDelete.unionByName(a, allowMissingColumns = true)
+        case None => afterDelete
+      }
+      return commit(full, s"$op+compact")
+    }
+    val next = nextSnap
+    var entries = parentEntries
+    var removed = 0L
+    deleteKeys.foreach { dk =>
+      val (dir, n) = writeSegment(dk.select(keyCols.map(col): _*).distinct(),
+        "tomb", next, keepEmpty = false)
+      if (n > 0L) { entries = entries :+ Entry(dir, "tombstone", keyCols); removed = n }
+    }
+    var appended = 0L
+    append.foreach { a =>
+      val (dir, n) = writeSegment(a, "data", next, keepEmpty = false)
+      if (n > 0L) { entries = entries :+ Entry(dir, "data", Seq.empty); appended = n }
+    }
+    // Exact when the parent count was exact and the tombstone is empty;
+    // -1 ("unknown without a scan") otherwise — lineage keeps the delta
+    // counts either way, and nothing downstream needs the total.
+    val parentRows = parent.map(_.rows).getOrElse(0L)
+    val rows = if (removed == 0L && parentRows >= 0L) parentRows + appended else -1L
+    writeMarker(Manifest(next, op, rows, appended, removed, entries))
+    next
+  }
+
+  /** Rewrite the current state as one segment (read-plan reset). */
+  def compact(op: String = "compact"): Int = commit(read(), op)
+
+  /** Drop all snapshot markers except the last `keepLast`, then delete
+    * segment dirs no surviving manifest references (GC).
+    */
+  def expireSnapshots(keepLast: Int = 1): Unit = {
+    val all = snapshots
+    val keep = all.takeRight(math.max(1, keepLast))
+    val live = keep.flatMap(k => manifest(k).entries.map(_.dir)).toSet
+    all.filterNot(keep.contains).foreach(k => fs.delete(new Path(snapPath(k)), true))
+    val segRoot = new Path(s"$root/seg")
+    if (fs.exists(segRoot))
+      fs.listStatus(segRoot).foreach { st =>
+        if (!live.contains(s"seg/${st.getPath.getName}"))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Fold the entry list: data segments union (by name — later segments
+    * may carry upgraded schemas), tombstones anti-join everything before
+    * them. None iff the list is empty.
+    */
+  private def assemble(entries: Seq[Entry]): Option[DataFrame] =
+    entries.foldLeft(Option.empty[DataFrame]) { (acc, e) =>
+      e.kind match {
+        case "data" =>
+          val d = spark.read.parquet(s"$root/${e.dir}")
+          Some(acc.map(_.unionByName(d, allowMissingColumns = true)).getOrElse(d))
+        case "tombstone" =>
+          val t = spark.read.parquet(s"$root/${e.dir}")
+          acc.map(_.join(t, e.keys, "left_anti"))
+        case other => throw new IllegalStateException(s"unknown entry kind $other")
+      }
+    }
 
   def read(): DataFrame = readAt(currentSnapshot.getOrElse(
     throw new IllegalStateException(s"no committed snapshot under $root")))
 
-  def readAt(k: Int): DataFrame = {
-    require(fs.exists(marker(k)), s"snapshot $k not committed under $root")
-    spark.read.parquet(s"${snapPath(k)}/data")
-  }
+  def readAt(k: Int): DataFrame =
+    assemble(manifest(k).entries).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot $k under $root has no entries — markers are only " +
+        "written with at least one (possibly empty) data segment"))
 
   /** Read latest snapshot, or an empty frame with the given schema. */
   def readOrEmpty(schema: org.apache.spark.sql.types.StructType): DataFrame =

@@ -193,31 +193,80 @@ object Dedup {
     * connected components over the pair graph → keeper = min key per
     * component (every key emits a row; singletons keep themselves).
     *
-    * Pair generation here is the exact one-broadcast-pass form (the
-    * oracle-matched baseline); at corpus scale swap the pair stage for
-    * [[graft.ops.Ann.lshTopKJoin]] — its recall at τ is measured, not
-    * assumed (OpsSpec recall guard). The CC stage is the map-side-
-    * combinable min-label propagation ([[graft.algo.ConnectedComponents]]).
+    * Pair generation is GATED like the Indexer's synonymy KNN
+    * ([[graft.retrieve.Indexer.SynonymyConfig.exactMaxEntities]]): at or
+    * below `exactMaxVectors` rows it is the exact one-broadcast-pass form
+    * (the oracle-matched baseline — O(N·dim) broadcast, O(N²) dots);
+    * above it, the bucketed-capped [[graft.ops.Ann.lshTopKJoin]] takes
+    * over — approximate by design, with recall at τ MEASURED (OpsSpec
+    * recall guard ≥ 0.95 at these tables/planes settings) and a hard
+    * `maxBucket` bound so one hot bucket can't go quadratic. CC only
+    * needs each vector to reach SOME in-cluster neighbor for the group to
+    * reassemble transitively, so a per-vector `lshTopK` neighbor cap
+    * loses groups only when LSH misses a whole vector's neighborhood.
+    * The CC stage is scale-safe in both regimes
+    * ([[graft.algo.ConnectedComponents]]).
     * @return (key, keeper)
     */
   def embeddingNearDupGroups(vecs: DataFrame, idCol: String, vecCol: String,
-                             tau: Double): DataFrame = {
-    import graft.functions.VectorOps
-    val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("qn", VectorOps.norm(col("qvec")))
-    val k = vecs.select(col(idCol).as("kid"), col(vecCol).as("kvec"))
-      .withColumn("kn", VectorOps.norm(col("kvec")))
-    val pairs = k.join(broadcast(q))
-      .where(col("qid") < col("kid"))
-      .select(col("qid"), col("kid"),
-        VectorOps.cosineWithNorms(col("qvec"), col("kvec"),
-          col("qn"), col("kn")).as("score"))
-      .where(col("score") >= tau)
+                             tau: Double, exactMaxVectors: Long = 65536L,
+                             lshTopK: Int = 64, lshTables: Int = 6,
+                             lshMinPlanes: Int = 12,
+                             lshMaxBucket: Int = 1024): DataFrame = {
+    val pairs = nearDupPairs(vecs, idCol, vecCol, tau, exactMaxVectors,
+      lshTopK, lshTables, lshMinPlanes, lshMaxBucket)
     val arcs = pairs.select(col("qid").as("src"), col("kid").as("dst"))
       .unionAll(pairs.select(col("kid").as("src"), col("qid").as("dst")))
     val verts = vecs.select(col(idCol).as("vid"))
     val (labels, _) = graft.algo.ConnectedComponents.run(arcs, verts)
     labels.select(col("vid").as("key"), col("component").as("keeper"))
+  }
+
+  /** The gated pair stage of [[embeddingNearDupGroups]], exposed so the
+    * LSH-regime plan is auditable (no BroadcastNestedLoopJoin above the
+    * gate — PlanSpec-style assert in OpsSpec).
+    * @return (qid, kid, score ≥ tau); above the gate a pair may appear in
+    *         either or both directions.
+    */
+  private[graft] def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                                  tau: Double, exactMaxVectors: Long,
+                                  lshTopK: Int = 64, lshTables: Int = 6,
+                                  lshMinPlanes: Int = 12,
+                                  lshMaxBucket: Int = 1024): DataFrame = {
+    import graft.functions.VectorOps
+    val n = vecs.count()
+      if (n <= exactMaxVectors) {
+        val q = vecs.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+          .withColumn("qn", VectorOps.norm(col("qvec")))
+        val k = vecs.select(col(idCol).as("kid"), col(vecCol).as("kvec"))
+          .withColumn("kn", VectorOps.norm(col("kvec")))
+        k.join(broadcast(q))
+          .where(col("qid") < col("kid"))
+          .select(col("qid"), col("kid"),
+            VectorOps.cosineWithNorms(col("qvec"), col("kvec"),
+              col("qn"), col("kn")).as("score"))
+          .where(col("score") >= tau)
+      } else {
+        // Normalize once so bucket signs are unchanged (positive scaling)
+        // and the pair score is a plain dot == cosine (float-rounded —
+        // this regime is approximate by design and recall-guarded).
+        val dim = vecs.select(size(col(vecCol))).first().getInt(0)
+        val unit = transform(col(vecCol),
+          x => x / sqrt(aggregate(col(vecCol), lit(0.0d),
+            (acc, v) => acc + v * v))).cast("array<float>")
+        val normed = vecs.select(col(idCol).as("id"), unit.as("v"))
+        val q = normed.select(col("id").as("qid"), col("v").as("qvec"))
+        val k = normed.select(col("id").as("kid"), col("v").as("kvec"))
+        Ann.lshTopKJoin(q, k, lshTopK,
+            nPlanes = Ann.planesFor(n, lshMinPlanes), dim = dim,
+            tables = lshTables, excludeSelf = true,
+            maxBucket = lshMaxBucket)
+          // NO qid<kid canonicalization: a pair surfacing in only ONE
+          // direction's top-k list must still survive; the CC union in
+          // the caller absorbs the duplicates when both directions appear.
+          .where(col("score") >= tau)
+          .select("qid", "kid", "score")
+      }
   }
 
   /** Exact n-gram Jaccard similarity for pairs above a threshold.

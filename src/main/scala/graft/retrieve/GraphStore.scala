@@ -5,7 +5,53 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.extract.Embeddings
+import graft.graph.Adjacency
 import graft.lake.SnapshotTable
+
+/** Snapshot-pinned serving graph: the dictionary + encoded symmetrized
+  * arc table (persisted), with the driver-collected CSR and its broadcast
+  * [[graft.algo.PprShard.Runner]] built LAZILY (only the query-sharded
+  * strategy pays the O(E) collect, and only once per graph version).
+  *
+  * Round-3 verdict #2: every `Retriever.retrieve` call re-derived the
+  * dictionary (a global sort), re-symmetrized/encoded the edge table and
+  * re-collected the CSR — minutes of graph prep per batch at corpus scale
+  * for a graph that changed in nothing. [[GraphStore.servingGraph]] holds
+  * ONE of these per (edges, vertices) snapshot pair and releases it when
+  * a commit moves the snapshot ids.
+  */
+final class ServingGraph private[retrieve] (
+    val dict: DataFrame, val nVertices: Long,
+    val arcs: DataFrame, val nArcs: Long,
+    spark: SparkSession, onCsrBuild: () => Unit) {
+  import graft.algo.PprShard
+  private var csrV: Option[PprShard.LocalCsr] = None
+  private var runnerV: Option[PprShard.Runner] = None
+
+  /** Driver-local CSR (collected once per graph version). */
+  def csr: PprShard.LocalCsr = synchronized {
+    csrV.getOrElse {
+      onCsrBuild()
+      val c = PprShard.buildLocal(arcs, nVertices.toInt)
+      csrV = Some(c); c
+    }
+  }
+
+  /** Broadcast-once runner over [[csr]] — reused across query batches. */
+  def runner: PprShard.Runner = synchronized {
+    runnerV.getOrElse {
+      val r = new PprShard.Runner(spark, csr)
+      runnerV = Some(r); r
+    }
+  }
+
+  private[retrieve] def release(): Unit = synchronized {
+    runnerV.foreach(_.close()); runnerV = None
+    csrV = None
+    arcs.unpersist(false)
+    dict.unpersist(false)
+  }
+}
 
 /** Persistent engine state: one snapshot table per store, mirroring the
   * reference's on-disk layout (three parquet embedding stores + graph +
@@ -47,6 +93,38 @@ class GraphStore(
     StructField("hash_id", StringType), StructField("content", StringType),
     StructField("embedding", ArrayType(FloatType, containsNull = false))))
 
+  // ---- serving-graph cache (keyed by snapshot ids, invalidated by commit)
+  private var servingCache: Option[((Option[Int], Option[Int]), ServingGraph)] = None
+  /** Test-visible build counters: dict/arc builds and CSR collects. */
+  private[retrieve] val servingBuilds = new java.util.concurrent.atomic.AtomicLong
+  private[retrieve] val servingCsrBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** The cached serving graph for the CURRENT (edges, vertices) snapshot
+    * pair. Two consecutive retrieve batches over an unchanged store reuse
+    * the same persisted dictionary/arcs and the same broadcast CSR; any
+    * index/delete commit moves a snapshot id and the next call rebuilds
+    * (releasing the old persists + broadcast).
+    */
+  def servingGraph(): ServingGraph = synchronized {
+    val key = (edges.currentSnapshot, vertices.currentSnapshot)
+    servingCache match {
+      case Some((k, g)) if k == key => g
+      case prev =>
+        prev.foreach(_._2.release())
+        val dict = graft.core.Ids.dictionary(vertices.read().select("key"), "key")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nV = dict.count()
+        val arcs = Adjacency.encode(Adjacency.symmetrize(edges.read()), dict)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nA = arcs.count()
+        servingBuilds.incrementAndGet()
+        val g = new ServingGraph(dict, nV, arcs, nA, spark,
+          () => servingCsrBuilds.incrementAndGet())
+        servingCache = Some((key, g))
+        g
+    }
+  }
+
   /** Current chunk snapshot, upgraded in place to [[chunkSchema]]: stores
     * committed before the S7 metadata column existed hold only
     * (chunk_id, content) — pad those with an empty map so incremental
@@ -62,23 +140,31 @@ class GraphStore(
 
   /** Idempotent embedding upsert (reference embedding_store.py:100-134:
     * anti-join by content hash, embed only the missing rows — I1).
+    * O(Δ) in I/O: ONLY the missing rows are written (append segment);
+    * the old full-rewrite copied the whole store per upsert.
     */
   def upsertEmbeddings(table: SnapshotTable, rows: DataFrame, embed: Column => Column): DataFrame = {
     val existing = table.readOrEmpty(embSchema)
     val missing = rows.join(existing.select("hash_id"), Seq("hash_id"), "left_anti")
       .select(col("hash_id"), col("content"), embed(col("content")).as("embedding"))
-    val merged = existing.unionByName(missing)
-    table.commit(merged, op = "upsert")
+    if (table.isEmpty) table.commit(missing, op = "upsert")
+    else table.commitAppend(missing, op = "upsert")
     table.read()
   }
 
   /** Keep only rows whose hash_id appears in `liveIds` (delete path —
     * reference embedding_store.py:183-191 + HippoRAG.py:398-405).
+    * O(Δ): the DEAD ids become a tombstone segment; live rows are never
+    * rewritten.
     */
   def retainEmbeddings(table: SnapshotTable, liveIds: DataFrame): DataFrame = {
     val existing = table.readOrEmpty(embSchema)
-    val kept = existing.join(liveIds, Seq("hash_id"), "left_semi")
-    table.commit(kept, op = "retain")
+    if (table.isEmpty) table.commit(existing, op = "retain")
+    else {
+      val dead = existing.select("hash_id")
+        .join(liveIds, Seq("hash_id"), "left_anti")
+      table.commitDelta(None, Some(dead), Seq("hash_id"), op = "retain")
+    }
     table.read()
   }
 }

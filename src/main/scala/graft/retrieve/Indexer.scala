@@ -55,6 +55,19 @@ object Indexer {
 
   case class IndexStats(totalChunks: Long, entities: Long, edges: Long, vertices: Long)
 
+  /** A synonymy-family delta: `changed` = the re-derived capped lists for
+    * the queries whose lists moved, `changedSrcs` = those query ids (the
+    * tombstone key set — includes dead queries, which contribute no
+    * `changed` rows), `kept` = the stored rows that pass through
+    * verbatim. `full` (= kept ∪ changed) is the complete end state — what
+    * the pre-delta code committed wholesale; the store now writes only
+    * `changed` + a `changedSrcs` tombstone.
+    */
+  private[retrieve] case class SynDelta(changed: DataFrame, changedSrcs: DataFrame,
+                                        kept: DataFrame) {
+    def full: DataFrame = kept.unionByName(changed)
+  }
+
   /** @param docs one row per document with a `content` string column; an
     *             optional `metadata` map<string,string> column is carried
     *             through to the chunk store (S7, HippoRAG.py:193-201).
@@ -78,13 +91,23 @@ object Indexer {
     val existing = store.currentChunks
     val hadChunks = !store.chunks.isEmpty
     val newChunks = incoming.join(existing.select("chunk_id"), Seq("chunk_id"), "left_anti")
-    val allChunks = existing.unionByName(newChunks)
-    store.chunks.commit(allChunks, "index")
+    // O(Δ) I/O: only the new chunks hit disk (append segment). The one
+    // full rewrite left: upgrading a pre-metadata store's schema in place
+    // (appending 3-col segments onto a 2-col snapshot would null-pad the
+    // old rows instead of empty-map-padding them).
+    val schemaUpgrade = hadChunks &&
+      !store.chunks.read().columns.contains("metadata")
+    if (!hadChunks || schemaUpgrade)
+      store.chunks.commit(existing.unionByName(newChunks), "index")
+    else store.chunks.commitAppend(newChunks, "index")
 
-    // I1: extract only for new chunks; keep prior triples verbatim.
+    // I1: extract only for new chunks; keep prior triples verbatim
+    // (append segment — chunk ids are content hashes, disjoint from the
+    // stored set by the anti-join above).
     val newTriples = extractor(newChunks)
-    val allTriples = store.currentTriples.unionByName(newTriples)
-    store.triples.commit(allTriples, "index")
+    if (store.triples.isEmpty)
+      store.triples.commit(newTriples, "index")
+    else store.triples.commitAppend(newTriples, "index")
 
     // I2: delta maintenance needs the per-family edge tables from a prior
     // commit; a fresh (or pre-family-format) store derives from scratch.
@@ -106,20 +129,33 @@ object Indexer {
     */
   def delete(store: GraphStore, docs: DataFrame, syn: SynonymyConfig = SynonymyConfig()): IndexStats = {
     val victims = Extract.chunks(docs, "content", Seq.empty).select("chunk_id")
-    // Bound to the PRE-delete snapshots (snapshot reads pin their version
-    // at call time): the victim triples drive the edge-weight subtraction.
+    // Bound to the PRE-delete snapshots (segments are immutable, so
+    // frames read before a commit keep reading the old segment files):
+    // the victim triples drive the edge-weight subtraction.
     val victimTriples = store.currentTriples.join(victims, Seq("chunk_id"), "left_semi")
     val hadFamilies = !store.chunks.isEmpty && !store.factEdges.isEmpty
-    val remaining = store.currentChunks.join(victims, Seq("chunk_id"), "left_anti")
-    store.chunks.commit(remaining, "delete")
-    val keptTriples = store.currentTriples
-      .join(store.chunks.read().select("chunk_id"), Seq("chunk_id"), "left_semi")
-    store.triples.commit(keptTriples, "delete")
-    if (hadFamilies) incrementalDelete(store, victims, victimTriples, syn)
-    else rebuild(store, syn)
+    if (hadFamilies) {
+      // O(Δ) I/O: victims become tombstone segments keyed by chunk_id;
+      // surviving rows are never rewritten.
+      store.chunks.commitDelta(None, Some(victims), Seq("chunk_id"), "delete")
+      store.triples.commitDelta(None, Some(victims), Seq("chunk_id"), "delete")
+      incrementalDelete(store, victims, victimTriples, syn)
+    } else {
+      val remaining = store.currentChunks.join(victims, Seq("chunk_id"), "left_anti")
+      store.chunks.commit(remaining, "delete")
+      val keptTriples = store.currentTriples
+        .join(store.chunks.read().select("chunk_id"), Seq("chunk_id"), "left_semi")
+      store.triples.commit(keptTriples, "delete")
+      rebuild(store, syn)
+    }
   }
 
-  /** I3 delta — the inverse of [[incrementalRebuild]]. */
+  /** I3 delta — the inverse of [[incrementalRebuild]]. Every commit here
+    * is a [[graft.lake.SnapshotTable.commitDelta]]: bytes written scale
+    * with the victims and the re-derived lists, never with the corpus
+    * (round-3 verdict #1 — the deltas were O(Δ) in compute but each
+    * commit still rewrote seven corpus-sized tables).
+    */
   private def incrementalDelete(store: GraphStore, victimChunkIds: DataFrame,
                                 victimTriples: DataFrame,
                                 syn: SynonymyConfig): IndexStats = {
@@ -127,36 +163,61 @@ object Indexer {
     val triplesNow = store.triples.read()
     val ents = Extract.entities(Extract.chunkEntities(triplesNow))
 
-    // Dead = embedded before, unreferenced by any surviving chunk. Must be
-    // derived BEFORE the retain pass rewrites the embedding snapshot (the
-    // frame pins the pre-retain snapshot, so ordering is belt-and-braces).
+    // Dead = embedded before, unreferenced by any surviving chunk.
+    // Derived from the pre-retain embedding segments (immutable, so the
+    // later retain commit cannot disturb this frame).
     val deadIds = store.entityEmb.readOrEmpty(store.embSchema).select("hash_id")
       .join(ents.select(col("entity_id").as("hash_id")), Seq("hash_id"), "left_anti")
 
     val entityE = syncEmbeddings(store, chunksNow, ents, triplesNow, retain = true)
 
-    // Fact edges: subtract the victim chunks' counts; a pair whose weight
-    // hits zero had ALL its support in victim chunks and disappears.
+    // Fact edges: subtract the victim chunks' counts — ONLY the touched
+    // (src, dst) pairs are tombstoned + rewritten; a pair whose weight
+    // hits zero had ALL its support in victim chunks and disappears (no
+    // replacement row).
     val victimFact = GraphBuild.factEdges(victimTriples)
       .select(col("src"), col("dst"), col("weight").as("vw"))
-    val fact = store.factEdges.read()
-      .join(victimFact, Seq("src", "dst"), "left")
+    val factStored = store.factEdges.read()
+    val factChangedKeys = victimFact.select("src", "dst")
+    val factUpdated = factStored.join(victimFact, Seq("src", "dst"))
       .select(col("src"), col("dst"),
-        (col("weight") - coalesce(col("vw"), lit(0.0))).as("weight"), col("etype"))
+        (col("weight") - col("vw")).as("weight"), col("etype"))
       .where(col("weight") > 0)
-    store.factEdges.commit(fact, "delete-delta")
+    store.factEdges.commitDelta(Some(factUpdated), Some(factChangedKeys),
+      Seq("src", "dst"), "delete-delta")
 
-    // Passage edges: keyed by victim chunk — drop by key. A surviving
-    // chunk cannot point at a dead entity (its entities are, by
+    // Passage edges: keyed by victim chunk — one tombstone on src. A
+    // surviving chunk cannot point at a dead entity (its entities are, by
     // definition, still referenced).
-    val pass = store.passageEdges.read()
-      .join(victimChunkIds.select(col("chunk_id").as("src")), Seq("src"), "left_anti")
-    store.passageEdges.commit(pass, "delete-delta")
+    val passStored = store.passageEdges.read()
+    val passDroppedKeys = passStored
+      .join(victimChunkIds.select(col("chunk_id").as("src")), Seq("src"), "left_semi")
+      .select("src", "dst")
+    store.passageEdges.commitDelta(None,
+      Some(victimChunkIds.select(col("chunk_id").as("src"))), Seq("src"), "delete-delta")
 
-    val synE = deltaSynonymyDelete(store.synEdges.read(), entityE, deadIds, syn)
-    store.synEdges.commit(synE, "delete-delta")
+    // Synonymy: dead + affected queries' lists replaced, rest untouched.
+    val storedSyn = store.synEdges.read()
+    val sd = deltaSynonymyDelete(storedSyn, entityE, deadIds, syn)
+    store.synEdges.commitDelta(Some(sd.changed), Some(sd.changedSrcs),
+      Seq("src"), "delete-delta")
 
-    commitMerged(store, ents, chunksNow)
+    // Merged edges: exactly the keys some family delta touched.
+    val synOldPairs = storedSyn
+      .join(sd.changedSrcs, Seq("src"), "left_semi").select("src", "dst")
+    val changedKeys = factChangedKeys.unionAll(passDroppedKeys)
+      .unionAll(synOldPairs).unionAll(sd.changed.select("src", "dst"))
+      .distinct().persist()
+    changedKeys.count()
+    commitMergedDelta(store, changedKeys, "delete-delta")
+    changedKeys.unpersist(false)
+
+    // Vertices: dead entities + victim chunks disappear, nothing appears.
+    val removedVerts = deadIds.select(col("hash_id").as("key"))
+      .unionAll(victimChunkIds.select(col("chunk_id").as("key")))
+    store.vertices.commitDelta(None, Some(removedVerts), Seq("key"), "delete-delta")
+
+    stats(store, ents, chunksNow)
   }
 
   /** Re-derive graph + embedding stores from the current chunk/triple set. */
@@ -179,6 +240,9 @@ object Indexer {
 
   /** I2 — delta rebuild: only the `newChunkIds` chunks contribute new
     * extraction/embedding/edge work; stored families absorb the deltas.
+    * O(Δ) in I/O too: fact pairs touched by the new chunks are tombstoned
+    * + rewritten, passage rows append (disjoint by new chunk), synonymy
+    * rewrites only the queries that gained a τ-accepted candidate.
     */
   private def incrementalRebuild(store: GraphStore, newChunkIds: DataFrame,
                                  syn: SynonymyConfig): IndexStats = {
@@ -195,24 +259,49 @@ object Indexer {
       .join(oldEntityIds, Seq("hash_id"), "left_anti")
 
     // Fact edges: counts over chunk-distinct triples are distributive
-    // over the disjoint old/new chunk sets — merge by weight sum.
-    val fact = store.factEdges.read()
-      .unionByName(GraphBuild.factEdges(newTriples))
+    // over the disjoint old/new chunk sets — ONLY the pairs present in
+    // the new chunks change; merge their stored weight with the delta.
+    val newFact = GraphBuild.factEdges(newTriples)
+    val factChangedKeys = newFact.select("src", "dst")
+    val factUpdated = store.factEdges.read()
+      .join(factChangedKeys, Seq("src", "dst"), "left_semi")
+      .unionByName(newFact)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .withColumn("etype", lit(GraphBuild.Fact))
-    store.factEdges.commit(fact, "index-delta")
+    store.factEdges.commitDelta(Some(factUpdated), Some(factChangedKeys),
+      Seq("src", "dst"), "index-delta")
 
-    // Passage edges: (chunk → entity) rows are disjoint by chunk.
-    val pass = store.passageEdges.read()
-      .unionByName(GraphBuild.passageEdges(chunkEntsNew))
-      .dropDuplicates("src", "dst")
-    store.passageEdges.commit(pass, "index-delta")
+    // Passage edges: (chunk → entity) rows are disjoint by (new) chunk —
+    // a pure append segment.
+    val passNew = GraphBuild.passageEdges(chunkEntsNew)
+    store.passageEdges.commitAppend(passNew, "index-delta")
 
-    // Synonymy: stored top-cap lists ∪ delta KNNs, re-capped per query.
-    val synE = deltaSynonymy(store.synEdges.read(), entityE, newEntityIds, syn)
-    store.synEdges.commit(synE, "index-delta")
+    // Synonymy: stored top-cap lists ∪ delta KNNs, re-capped — but only
+    // the CHANGED queries' lists hit disk.
+    val storedSyn = store.synEdges.read()
+    val sd = deltaSynonymy(storedSyn, entityE, newEntityIds, syn)
+    store.synEdges.commitDelta(Some(sd.changed), Some(sd.changedSrcs),
+      Seq("src"), "index-delta")
 
-    commitMerged(store, ents, chunksNow)
+    // Merged edges: exactly the keys some family delta touched.
+    val synOldPairs = storedSyn
+      .join(sd.changedSrcs, Seq("src"), "left_semi").select("src", "dst")
+    val changedKeys = factChangedKeys.unionAll(passNew.select("src", "dst"))
+      .unionAll(synOldPairs).unionAll(sd.changed.select("src", "dst"))
+      .distinct().persist()
+    changedKeys.count()
+    commitMergedDelta(store, changedKeys, "index-delta")
+    changedKeys.unpersist(false)
+
+    // Vertices: new entities + new chunks append (keys are content
+    // hashes — new by construction, so no dedup pass is needed).
+    val newVerts = GraphBuild.vertices(
+      ents.join(newEntityIds.select(col("hash_id").as("entity_id")),
+        Seq("entity_id"), "left_semi"),
+      chunksNow.join(newChunkIds, Seq("chunk_id"), "left_semi"))
+    store.vertices.commitAppend(newVerts, "index-delta")
+
+    stats(store, ents, chunksNow)
   }
 
   /** Embedding-store sync shared by both rebuild paths: upsert missing
@@ -245,12 +334,34 @@ object Indexer {
     store.edges.commit(allEdges, "merge")
     val verts = GraphBuild.vertices(ents, chunksNow)
     store.vertices.commit(verts, "merge")
+    stats(store, ents, chunksNow)
+  }
+
+  /** Delta-maintain the merged A3 edge view: re-run the last-writer-wins
+    * merge for EXACTLY the `(src, dst)` keys some family delta touched
+    * (each family's input is key-restricted first, so the merge groupBy
+    * is Δ-sized), tombstone those keys, append the re-merged rows. Keys
+    * whose rows vanished from every family get a tombstone and no
+    * replacement — they disappear, as in a full re-merge.
+    */
+  private def commitMergedDelta(store: GraphStore, changedKeys: DataFrame,
+                                op: String): Unit = {
+    def restrict(df: DataFrame) =
+      df.join(changedKeys, Seq("src", "dst"), "left_semi")
+    val merged = GraphBuild.edges(
+      restrict(store.factEdges.read()),
+      restrict(store.passageEdges.read()),
+      restrict(store.synEdges.read()))
+    store.edges.commitDelta(Some(merged), Some(changedKeys), Seq("src", "dst"), op)
+  }
+
+  private def stats(store: GraphStore, ents: DataFrame,
+                    chunksNow: DataFrame): IndexStats =
     IndexStats(
       totalChunks = chunksNow.count(),
       entities = ents.count(),
       edges = store.edges.read().count(),
       vertices = store.vertices.read().count())
-  }
 
   /** G3 — synonymy expansion (reference add_synonymy_edges,
     * HippoRAG.py:959-1020): cosine KNN over entity embeddings; queries
@@ -304,7 +415,7 @@ object Indexer {
     */
   private[retrieve] def deltaSynonymy(storedSyn: DataFrame, entityEmb: DataFrame,
                                       newEntityIds: DataFrame,
-                                      syn: SynonymyConfig): DataFrame = {
+                                      syn: SynonymyConfig): SynDelta = {
     require(syn.cap <= syn.topK,
       s"synonymy cap (${syn.cap}) must be <= KNN topK (${syn.topK})")
     val queries = validQueries(entityEmb)
@@ -329,12 +440,21 @@ object Indexer {
         broadcastKeys = true)
       .where(col("score") >= syn.threshold)
 
-    val merged = storedSyn
+    // Only queries that gained a τ-accepted candidate can change: for any
+    // other query, re-capping its stored list is the identity (the list
+    // was produced by the same cap). Split accordingly so the store
+    // writes O(changed), not O(all lists).
+    val changedQids = newVsAll.select("qid").unionAll(oldVsNew.select("qid")).distinct()
+    val changedMerged = storedSyn
       .select(col("src").as("qid"), col("dst").as("kid"), col("weight").as("score"))
+      .join(changedQids, Seq("qid"), "left_semi")
       .unionByName(newVsAll.select("qid", "kid", "score"))
       .unionByName(oldVsNew.select("qid", "kid", "score"))
       .dropDuplicates("qid", "kid")
-    capAccepted(merged, syn)
+    val kept = storedSyn
+      .join(changedQids.select(col("qid").as("src")), Seq("src"), "left_anti")
+    SynDelta(capAccepted(changedMerged, syn),
+      changedQids.select(col("qid").as("src")), kept)
   }
 
   /** I3 synonymy delta for delete. A stored capped list stays EXACTLY the
@@ -355,7 +475,7 @@ object Indexer {
     */
   private[retrieve] def deltaSynonymyDelete(storedSyn: DataFrame, entityEmb: DataFrame,
                                             deadIds: DataFrame,
-                                            syn: SynonymyConfig): DataFrame = {
+                                            syn: SynonymyConfig): SynDelta = {
     require(syn.cap <= syn.topK,
       s"synonymy cap (${syn.cap}) must be <= KNN topK (${syn.topK})")
     val queries = validQueries(entityEmb) // post-retain: surviving entities only
@@ -378,11 +498,14 @@ object Indexer {
            maxBucket = syn.lshMaxBucket))
         .where(col("score") >= syn.threshold)
 
-    val kept = storedSyn
-      .join(deadIds.select(col("hash_id").as("src")), Seq("src"), "left_anti")
-      .join(affected.select(col("qid").as("src")), Seq("src"), "left_anti")
-      .select(col("src").as("qid"), col("dst").as("kid"), col("weight").as("score"))
-    capAccepted(kept.unionByName(reKnn.select("qid", "kid", "score")), syn)
+    // Tombstone set = dead queries (rows vanish) ∪ affected queries
+    // (rows replaced by the re-KNN'd capped list); everything else is
+    // `kept` and never touches disk.
+    val changedSrcs = deadIds.select(col("hash_id").as("src"))
+      .unionAll(affected.select(col("qid").as("src"))).distinct()
+    val kept = storedSyn.join(changedSrcs, Seq("src"), "left_anti")
+    SynDelta(capAccepted(reKnn.select("qid", "kid", "score"), syn),
+      changedSrcs, kept)
   }
 
   /** τ-accepted candidates → per-query cap in (score desc, kid asc) order

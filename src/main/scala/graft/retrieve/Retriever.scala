@@ -8,7 +8,6 @@ import graft.algo.{Ppr, PprConfig, PprCsr, PprShard}
 import graft.core.Ids
 import graft.extract.Embeddings
 import graft.functions.VectorOps
-import graft.graph.Adjacency
 
 /** Multi-query retrieval: the reference `retrieve` loop
   * (src/hipporag/HippoRAG.py:413-499 → graph_search_with_fact_entities
@@ -188,10 +187,14 @@ object Retriever {
     val seedsByKey = seedWeights(store, qdf, cfg)
 
     // --- encode to vids, run multi-query PPR over the symmetrized graph.
+    // The dictionary / symmetrize+encode / CSR collect are all amortized
+    // on the store's snapshot-keyed serving cache (round-3 verdict #2):
+    // consecutive batches over an unchanged store pay ZERO graph prep.
     val verts = store.vertices.read()
-    val dict = graft.core.Ids.dictionary(verts.select("key"), "key")
-    val nVertices = dict.count()
-    val arcs = Adjacency.encode(Adjacency.symmetrize(store.edges.read()), dict)
+    val sg = store.servingGraph()
+    val dict = sg.dict
+    val nVertices = sg.nVertices
+    val arcs = sg.arcs
     val seeds = seedsByKey.join(dict, "key").select("qid", "vid", "weight")
 
     // Strategy selection (north rule "broadcast-or-shuffle", three-way):
@@ -202,15 +205,15 @@ object Retriever {
     //  - otherwise → sparse shuffle gather-scatter, fully distributed.
     val pprCfg = PprConfig(damping = cfg.damping, tol = cfg.pprTol)
     val scores: DataFrame =
-      chooseStrategy(nVertices, arcs.count(), queries.size.toLong, cfg) match {
+      chooseStrategy(nVertices, sg.nArcs, queries.size.toLong, cfg) match {
         case "shard" =>
-          // Query-sharded: the CSR is broadcast once; the seed frame stays
-          // DISTRIBUTED (hash-repartitioned by qid, grouped inside tasks).
-          // Passage weights are dense over all chunks per query (reference
+          // Query-sharded: the cached runner's CSR broadcast is reused
+          // across batches; the seed frame stays DISTRIBUTED
+          // (hash-repartitioned by qid, grouped inside tasks). Passage
+          // weights are dense over all chunks per query (reference
           // semantics), so a driver collect here would be Q×V rows — the
           // round-1 OOM path this replaces.
-          val csr = PprShard.buildLocal(arcs, nVertices.toInt)
-          new PprShard.Runner(spark, csr).runFrame(seeds, pprCfg)._1
+          sg.runner.runFrame(seeds, pprCfg)._1
         case "csr" =>
           val blocks = graft.graph.Adjacency.csrBlocks(spark, arcs,
             edgesPerBlock = 1 << 16)
@@ -241,8 +244,8 @@ object Retriever {
   }
 
   /** Execution-strategy selector for the PPR stage (unit-tested). `nArcs`
-    * is by-name: it costs a count and is only needed when the graph is
-    * small enough for a broadcast strategy at all.
+    * stays by-name for callers that would have to count for it; the
+    * serving path passes the cache's precomputed count.
     */
   private[retrieve] def chooseStrategy(nVertices: Long, nArcs: => Long,
                                        nQueries: Long, cfg: RetrieveConfig): String =

@@ -159,21 +159,22 @@ object TextKernels {
     * recursive longest-matching-block algorithm (ties → earliest in a,
     * then earliest in b), including difflib's autojunk rule (for |b| ≥
     * 200, characters occurring more than |b|/100 + 1 times in b are
-    * dropped from the index). Operates on UTF-16 code units like Java
-    * String — identical to Python codepoints except astral-plane chars
-    * (absent from normalized fact strings). Golden-tested against
-    * difflib's own outputs.
+    * dropped from the index). Operates on CODEPOINTS, exactly like Python
+    * str iteration — astral-plane characters (emoji, rare CJK) count as
+    * one element, not two UTF-16 units, so raw LLM-returned strings score
+    * identically to CPython without pre-normalization. Golden-tested
+    * against difflib's own outputs (incl. astral-plane cases).
     */
   def seqRatio(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val la = a.length
     val lb = b.length
     if (la + lb == 0) return 1.0
-    val b2j = new java.util.HashMap[Character, java.util.ArrayList[Integer]]()
+    val b2j = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
     var j = 0
     while (j < lb) {
-      b2j.computeIfAbsent(b.charAt(j), _ => new java.util.ArrayList[Integer]).add(j)
+      b2j.computeIfAbsent(b(j), _ => new java.util.ArrayList[Integer]).add(j)
       j += 1
     }
     if (lb >= 200) { // difflib autojunk: drop popular characters
@@ -194,7 +195,7 @@ object TextKernels {
       var i = alo
       while (i < ahi) {
         val newj2len = new java.util.HashMap[Integer, Integer]()
-        val positions = b2j.get(a.charAt(i))
+        val positions = b2j.get(Integer.valueOf(a(i)))
         if (positions != null) {
           val pit = positions.iterator()
           var stop = false
@@ -218,11 +219,11 @@ object TextKernels {
       // ends. The junk-only extension loops are no-ops here because the
       // isjunk predicate in this engine's surface is always None.
       while (besti > alo && bestj > blo &&
-          a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+          a(besti - 1) == b(bestj - 1)) {
         besti -= 1; bestj -= 1; bestsize += 1
       }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-          a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+          a(besti + bestsize) == b(bestj + bestsize)) {
         bestsize += 1
       }
       if (bestsize > 0) {

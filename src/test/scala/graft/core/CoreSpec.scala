@@ -139,7 +139,16 @@ class CoreSpec extends SparkSpec {
       // index; the extension steps must still re-attach them
       ("ab" * 150, "ab" * 150 + "c" * 20, 0.967741935483871),
       ("abcab" * 50, "abcba" * 50, 0.012),
-      ("x" * 250, "x" * 100 + "y" * 100, 0.4444444444444444))
+      ("x" * 250, "x" * 100 + "y" * 100, 0.4444444444444444),
+      // astral-plane codepoints: CPython iterates str by CODEPOINT, so an
+      // emoji is ONE element — a UTF-16 code-unit scan would double-count
+      // it (the denominator |a|+|b| and the match lengths both shift).
+      // Raw LLM-returned strings are not guaranteed BMP-only.
+      ("a😀b", "a😀b", 1.0),
+      ("a😀b", "a😁b", 0.6666666666666666),
+      ("😀😁x", "x😀😁", 0.6666666666666666),
+      ("naïve 🚀 rocket", "naive 🚀 rocket", 0.9285714285714286),
+      ("𐐀abc", "abc𐐀", 0.75))
     val got = cases.map(c => (c._1, c._2)).toDF("a", "b")
       .select(TextOps.sequenceRatio(col("a"), col("b"))).as[Double].collect()
     cases.zip(got).foreach { case ((a, b, want), g) =>

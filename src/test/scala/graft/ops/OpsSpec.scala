@@ -156,6 +156,38 @@ class OpsSpec extends SparkSpec {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
   }
 
+  test("embed near-dup gate: LSH regime reproduces exact groups; pair stage never nested-loops") {
+    // Same cluster fixture as the exact-regime test above: three tight
+    // clusters + structure. Forcing exactMaxVectors=1 routes the pair
+    // stage through Ann.lshTopKJoin — groups must come back identical,
+    // and the pair-stage plan must be the bucketed equi-join (no
+    // BroadcastNestedLoopJoin = no O(N²) cross product above the gate).
+    def jig(center: String, i: Int): Array[Float] = {
+      val c = Embeddings.hashUnit(center, 16)
+      val j = Embeddings.hashUnit(s"nd$i", 16)
+      c.zip(j).map { case (a, b) => a + 0.05f * b }
+    }
+    val vecs = Seq(
+      (10L, jig("x", 0)), (11L, jig("x", 1)), (12L, jig("x", 2)),
+      (20L, jig("y", 3)), (21L, jig("y", 4)),
+      (30L, jig("z", 5))
+    ).toDF("id", "v")
+    def groups(exactMax: Long) =
+      Dedup.embeddingNearDupGroups(vecs, "id", "v", tau = 0.9,
+          exactMaxVectors = exactMax, lshMinPlanes = 2)
+        .collect().map(r => r.getAs[Long]("key") -> r.getAs[Long]("keeper")).toMap
+    val exact = groups(Long.MaxValue)
+    val viaLsh = groups(1L)
+    assert(exact == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+    assert(viaLsh == exact, s"LSH-regime groups diverged: $viaLsh vs $exact")
+    val pairPlan = Dedup.nearDupPairs(vecs, "id", "v", tau = 0.9,
+        exactMaxVectors = 1L, lshMinPlanes = 2)
+      .queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("BroadcastNestedLoopJoin"),
+      s"pair stage above the gate must not cross-join:\n${pairPlan.take(2000)}")
+  }
+
   test("LSH recall guard: τ-accepted pairs at synonymy settings, recall ≥ 0.95 vs exact") {
     // Above the synonymy exact-KNN gate the graph silently becomes
     // approximate — this probe MEASURES the approximation instead of

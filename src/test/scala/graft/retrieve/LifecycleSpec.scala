@@ -150,6 +150,7 @@ class LifecycleSpec extends SparkSpec {
     val dead = Seq("x").toDF("hash_id")
     val out = Indexer.deltaSynonymyDelete(stored, emb, dead,
         Indexer.SynonymyConfig(topK = 5, cap = 3))
+      .full
       .select("src", "dst", "weight").collect()
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     assert(out.contains(("q1", "a", 1.0)), s"affected q1 must re-derive from embeddings: $out")
@@ -235,6 +236,64 @@ class LifecycleSpec extends SparkSpec {
       "ranks must agree across strategies")
     val maxDiff = shard.map { case (k, (_, s)) => math.abs(s - csr(k)._2) }.max
     assert(maxDiff < 1e-9, s"cross-strategy score drift $maxDiff")
+  }
+
+  test("k-doc delete writes O(k) bytes, not O(corpus) (manifest/tombstone commits)") {
+    // A corpus big enough that live table bytes dwarf per-file parquet
+    // overhead; deleting 2 of 240 docs must write a small fraction of
+    // what the initial index wrote. Before round 4 every delete rewrote
+    // all seven derived tables (delete bytes ≈ index bytes).
+    def sentence(i: Int): String = {
+      val a = s"Node${i % 97}"; val b = s"Node${(i * 7 + 3) % 97}"
+      val c = s"Node${(i * 13 + 5) % 97}"
+      s"$a cites $b. $b links $c. $c mentions $a. $a reviewed Topic${i % 31}."
+    }
+    val corpus = (0 until 240).map(sentence)
+    val store = freshStore()
+    def bytes(): Long = {
+      val root = java.nio.file.Paths.get(store.root)
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally s.close()
+    }
+    Indexer.index(store, corpus.toDF("content"))
+    val indexBytes = bytes()
+    val before = bytes()
+    Indexer.delete(store, corpus.take(2).toDF("content"))
+    val deleteBytes = bytes() - before // segments are immutable: growth == bytes written
+    assert(deleteBytes > 0)
+    assert(deleteBytes < indexBytes / 5,
+      s"2-doc delete wrote $deleteBytes bytes vs $indexBytes for the full " +
+      "index — maintenance commits must be O(delta), not O(corpus)")
+    // and the deleted docs are really gone
+    val gone = graft.extract.Extract.chunks(corpus.take(2).toDF("content"), "content", Seq.empty)
+      .select("chunk_id")
+    assert(store.chunks.read().join(gone, Seq("chunk_id"), "left_semi").count() == 0)
+  }
+
+  test("serving graph is cached across retrieve batches, invalidated by commits") {
+    val store = freshStore()
+    Indexer.index(store, docs.toDF("content"))
+    val queries = Seq(0L -> "where is the Louvre", 1L -> "who founded Acme")
+    val cfg = Retriever.RetrieveConfig(retrievalTopK = 5)
+    def res() = Retriever.retrieve(store, queries, cfg).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[String]("chunk_id"))).toSet
+    val r1 = res()
+    assert(store.servingBuilds.get() == 1L)
+    val csrAfterFirst = store.servingCsrBuilds.get()
+    val r2 = res()
+    assert(store.servingBuilds.get() == 1L,
+      "second batch must NOT rebuild the dictionary/arcs")
+    assert(store.servingCsrBuilds.get() == csrAfterFirst,
+      "second batch must NOT re-collect the CSR")
+    assert(r1 == r2, "cached serving graph must retrieve identically")
+    // A commit moves the snapshot ids → next batch rebuilds exactly once.
+    Indexer.index(store, extraDocs.toDF("content"))
+    res()
+    assert(store.servingBuilds.get() == 2L,
+      "an index commit must invalidate the cached serving graph")
   }
 
   test("linking score map is the seed weights trimmed to top 30 (W4)") {
