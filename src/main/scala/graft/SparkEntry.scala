@@ -79,11 +79,12 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. The one tol-CONVERGED fixpoint (q27_ppr) is
-    * intentionally absent → driver records a rows-only check there; its
-    * numeric correctness is pinned by networkx goldens in `sbt test`, and
-    * the PPR update rule itself is value-checked by the q27c fixed-sweep
-    * oracle (recursive CTE).
+    * the same parquet tables. Every query carries a value oracle now:
+    * the tol-CONVERGED fixpoint (q27_ppr) is hash-compared against a
+    * committed golden parquet (itself independently validated vs a
+    * DuckDB+networkx recomputation — scripts/check_q27_golden.py, and
+    * pinned to the live query in PprSpec), and the PPR update rule is
+    * additionally value-checked by the q27c fixed-sweep recursive CTE.
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

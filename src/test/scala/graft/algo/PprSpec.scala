@@ -177,6 +177,25 @@ class PprSpec extends SparkSpec {
     assert(maxDiff < 1e-12, s"partitioning changed scores by $maxDiff")
   }
 
+  test("q27 output matches the committed golden exactly (driver value-oracle pin)") {
+    // The q27 driver oracle reads this committed parquet (Oracles.scala);
+    // this pin makes `sbt test` fail BEFORE the driver would, whenever
+    // extraction/graph/PPR changes move the converged scores. Provenance:
+    // scripts/check_q27_golden.py validates the golden against an
+    // independent DuckDB+networkx recomputation (max diff 5e-10 = the
+    // round-9 granularity). Regenerate: sbt "Test/runMain graft.GenQ27Golden".
+    val live = graft.entry.DocQueries.qPpr(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val gold = spark.read.parquet(
+        "src/test/resources/goldens/q27_sf0.001.parquet")
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("score")).toMap
+    assert(live.keySet == gold.keySet,
+      s"nonzero vertex sets differ by ${(live.keySet diff gold.keySet).size} + " +
+      s"${(gold.keySet diff live.keySet).size}")
+    assert(live.forall { case (k, v) => v == gold(k) },
+      "round-9 scores must match the committed golden bitwise")
+  }
+
   test("PPR resumes mid-convergence from checkpoint with identical scores") {
     val g = Goldens.load("smoke")
     val cases = g.ppr.filter(_.damping == 0.5)
