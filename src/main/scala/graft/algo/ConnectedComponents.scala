@@ -4,27 +4,108 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Connected components: synchronous min-label propagation to fixpoint.
+/** Connected components. Two implementations behind one contract
+  * (canonical component id = min vid in the component, exact at
+  * convergence — north rule; matches the committed networkx goldens,
+  * FIXTURES.md §4):
   *
-  * label₀(v) = v;  label'(v) = min(label(v), min_{(u,v)∈arcs} label(u)).
-  * Exact at convergence (north rule); canonical component id = min vid in
-  * the component, matching the committed networkx goldens (FIXTURES.md §4).
+  *  - [[run]] (default): ALTERNATING LARGE-STAR / SMALL-STAR contraction
+  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  *    SoCC'14 — SURVEY.md §2.9). Round count is O(log² V) regardless of
+  *    graph DIAMETER: a 10⁴-vertex path converges in ~15 rounds where
+  *    label propagation needs ~10⁴ (spec-pinned). Each round is two
+  *    groupBy(min) + joins — map-side combinable, so Zipf hubs cost
+  *    partial aggregation, not a hot reducer.
+  *  - [[runMinLabel]]: synchronous min-label propagation — one join +
+  *    one groupBy(min) per round, O(diameter) rounds. Cheaper per round;
+  *    fine for small-diameter web graphs, kept for cross-checks.
   *
-  * Each iteration is one join + one groupBy(min) — both map-side
-  * combinable, so Zipf hubs cost partial-aggregation, not a hot reducer.
-  * Lineage is truncated every `checkpointEvery` iterations. Iteration count
-  * is bounded by the graph diameter (small for web-ish graphs); for
-  * pathological chains switch to the alternating-star variant — the
-  * convergence test and output contract stay the same.
+  * Lineage is truncated every `checkpointEvery` rounds in both.
   */
 object ConnectedComponents {
 
   /** @param arcs symmetrized (src, dst, weight) — weights ignored
     * @param vertices (vid) every vertex incl. isolated ones
-    * @return (vid, component) with component = min vid reachable
+    * @return (vid, component) with component = min vid reachable, and the
+    *         number of star rounds (one round = large-star + small-star)
     */
   def run(arcs: DataFrame, vertices: DataFrame, checkpointEvery: Int = 5,
           maxIter: Int = 200): (DataFrame, Int) = {
+    val spark = arcs.sparkSession
+    // Re-root a persisted frame as a LogicalRDD leaf: each star round
+    // references the previous edge set FOUR times (sym union ×2, then
+    // join + min ×2), so chaining plans would grow the logical tree 4^k
+    // across rounds — analysis time alone hangs the loop long before
+    // compute does (measured round-2 pitfall; same fix as Ppr's DF path).
+    // The leaf's RDD is the persisted one, so the cache still serves it.
+    def reRoot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
+
+    // Unordered simple pairs (a < b) — the star edge set. `cur` is the
+    // persisted handle (for unpersist); `edges` its leaf view.
+    var cur = arcs.select(col("src").as("u"), col("dst").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var nEdges = cur.count()
+    var edges = reRoot(cur)
+    var iter = 0
+    var converged = nEdges == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR: every node u links its STRICTLY LARGER neighbors to
+      // m(u) = min(N(u) ∪ {u}). Each unordered pair (a < b) appears once
+      // from its smaller endpoint's perspective (b > a), so one pass over
+      // the symmetric view emits exactly one pair per edge.
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(edges.select(col("b").as("u"), col("a").as("v")))
+      val mLarge = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val afterLarge = sym.join(mLarge, "u")
+        .where(col("v") > col("u"))
+        // m ≤ u < v, so the pair is already ordered (m, v)
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // SMALL-STAR: orient pairs toward the larger endpoint b; its
+      // smaller neighbors (plus b itself) all link to m(b) = min
+      // neighbor (every neighbor is < b, so the min neighbor is m).
+      val mSmall = afterLarge.groupBy("b").agg(min("a").as("m"))
+      val next0 = afterLarge.join(mSmall, "b")
+        .select(col("a").as("x"), col("m").as("y"))
+        .unionAll(mSmall.select(col("b").as("x"), col("m").as("y")))
+        .where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nNext = next0.count()
+      // Fixpoint iff the edge sets are equal: sizes match and next ⊆ prev.
+      converged = nNext == nEdges && next0.except(edges).isEmpty
+      afterLarge.unpersist(false)
+      cur.unpersist(false)
+      // Truncate the cached RDD's own lineage periodically (a lost cache
+      // partition would otherwise recompute through every prior round).
+      cur = if ((iter + 1) % checkpointEvery == 0) {
+        val c = next0.localCheckpoint(true); next0.unpersist(false); c
+      } else next0
+      edges = reRoot(cur)
+      nEdges = nNext
+      iter += 1
+    }
+    // At the fixpoint every pair is (root = component min, member): the
+    // labels are the pairs themselves + self labels for roots/isolated.
+    val labels = vertices
+      .join(edges.select(col("b").as("vid"), col("a").as("root")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("root"), col("vid")).as("component"))
+    (labels, iter)
+  }
+
+  /** Synchronous min-label propagation to fixpoint:
+    * label₀(v) = v;  label'(v) = min(label(v), min_{(u,v)∈arcs} label(u)).
+    * O(diameter) rounds — kept as the cross-check implementation.
+    */
+  def runMinLabel(arcs: DataFrame, vertices: DataFrame, checkpointEvery: Int = 5,
+                  maxIter: Int = 200): (DataFrame, Int) = {
     val edges = arcs.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     var labels = vertices.select(col("vid"), col("vid").as("component"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -43,6 +43,38 @@ class GraphAlgoSpec extends SparkSpec {
     }
   }
 
+  for (name <- Goldens.all) {
+    test(s"star-contraction CC == min-label CC [$name]") {
+      val (_, arcs, vertices) = fixture(name)
+      val star = ConnectedComponents.run(arcs, vertices)._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minLabel = ConnectedComponents.runMinLabel(arcs, vertices)._1.collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(star == minLabel)
+    }
+  }
+
+  test("star contraction is diameter-independent: 10^4-vertex path in O(log V) rounds") {
+    // Worst case for label propagation: a path graph, where the min label
+    // must crawl one hop per round (~10^4 rounds). Star contraction
+    // halves/contracts toward the component minimum — O(log² V) rounds in
+    // theory, ~10 here. 20 rounds of min-label on the same path must
+    // still be far from converged (every vertex > 20 hops from vertex 0
+    // still carries a too-large label).
+    val n = 10000
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong, 1.0))
+      .toDF("src", "dst", "weight")
+    val arcs = Adjacency.symmetrize(edges)
+    val vertices = (0L until n.toLong).toDF("vid")
+    val (labels, rounds) = ConnectedComponents.run(arcs, vertices)
+    assert(rounds <= 30, s"star contraction took $rounds rounds on a path")
+    assert(labels.where(col("component") =!= 0L).count() == 0,
+      "single path component must collapse to vertex 0")
+    val (partial, mlRounds) = ConnectedComponents.runMinLabel(arcs, vertices, maxIter = 20)
+    assert(mlRounds == 20 && partial.where(col("component") =!= 0L).count() > 0,
+      "min-label at 20 rounds must still be unconverged on the path")
+  }
+
   test("CC is invariant to partition count") {
     val (_, arcs, vertices) = fixture("chain")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

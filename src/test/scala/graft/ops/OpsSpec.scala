@@ -140,6 +140,43 @@ class OpsSpec extends SparkSpec {
     assert(ivf == again)
   }
 
+  test("trained IVF centroids: deterministic, recall uplift vs hash-seeded") {
+    // 8 tight clusters, 8 cells: Lloyd rounds should align cells with
+    // clusters, so probing 2 cells recovers near-exact neighbors; the
+    // data-independent hash-seeded centroids split/merge clusters across
+    // cells and lose neighbors at the same probe budget.
+    val dim = 32
+    val vecs = (0 until 96).map { i =>
+      val c = Embeddings.hashUnit(s"kc${i / 12}", dim)
+      val j = Embeddings.hashUnit(s"kj$i", dim)
+      (i.toString, c.zip(j).map { case (a, b) => a + 0.1f * b })
+    }.toDF("id", "v")
+    val queries = vecs.select(col("id").as("qid"), col("v").as("qvec"))
+    val keys = vecs.select(col("id").as("kid"), col("v").as("kvec"))
+    val exact = Ann.bruteForceTopK(queries, keys, k = 5)
+      .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+    def recall(cents: Seq[Array[Float]]): Double = {
+      val got = Ann.ivfTopKWith(vecs, "id", "v", k = 5, cents, nProbe = 2)
+        .collect().map(r => (r.getAs[String]("qid"), r.getAs[String]("kid"))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    val untrained = (0 until 8).map(j => Ann.ivfCentroid("ivf", j, dim))
+    val trained = Ann.trainCentroids(vecs, "id", "v", nCells = 8, dim = dim, iters = 5)
+    val (ru, rt) = (recall(untrained), recall(trained))
+    assert(rt > ru, s"trained recall $rt must beat hash-seeded $ru")
+    assert(rt >= 0.9, s"trained recall $rt too low")
+    // pure function of (data, seed): retraining is bit-identical
+    val again = Ann.trainCentroids(vecs, "id", "v", nCells = 8, dim = dim, iters = 5)
+    assert(trained.zip(again).forall { case (a, b) => a.sameElements(b) })
+    // deterministic hash-bucket sampling is partition-invariant: the
+    // sampled training run equals itself under a different layout
+    val sampled = Ann.trainCentroids(vecs, "id", "v", nCells = 8, dim = dim,
+      iters = 3, sampleFraction = 0.7)
+    val sampled2 = Ann.trainCentroids(vecs.repartition(13), "id", "v", nCells = 8,
+      dim = dim, iters = 3, sampleFraction = 0.7)
+    assert(sampled.zip(sampled2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("embedding near-dup groups: transitive clusters, singletons keep themselves") {
     def jig(center: String, i: Int): Array[Float] = {
       val c = Embeddings.hashUnit(center, 16)
