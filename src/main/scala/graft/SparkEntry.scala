@@ -75,7 +75,9 @@ object SparkEntry {
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),
     // OpenIE stats (S5, A8)
-    "q30_openie_stats" -> (Q.qOpenieStats _)
+    "q30_openie_stats" -> (Q.qOpenieStats _),
+    // html→text extraction kernel (pages input_hint html column)
+    "q34_html_strip" -> (Q.qHtmlStrip _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -112,8 +112,13 @@ object Ppr {
     val alpha = cfg.damping
     val threshold = nVertices.toDouble * cfg.tol
 
-    var x = prior.map(_.ranks).getOrElse(
-        p.select(col("qid"), col("vid"), col("p").as("x")))
+    // x₀ is a pure RENAME of p — CacheManager matches canonicalized plans
+    // (aliases stripped), so persisting the projection re-registers p's
+    // cache entry and the loop's first unpersist would DROP p. Re-root it
+    // as a LogicalRDD leaf (reads p's cache through .rdd) instead.
+    val x0proj = prior.map(_.ranks).getOrElse(
+      p.select(col("qid"), col("vid"), col("p").as("x")))
+    var x = spark.createDataFrame(x0proj.rdd, x0proj.schema)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // the PERSISTED handle behind x (x itself may be a projection of it —
     // unpersisting the projection would silently no-op and leak the cache)
@@ -156,7 +161,7 @@ object Ppr {
            lit(1.0 - alpha) * coalesce(col("p"), lit(0.0))).as("x"),
           coalesce(col("xo"), lit(0.0)).as("xo"),
           coalesce(col("isd"), lit(false)).as("isd"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK) // joined0 (unique per iter)
       val joined =
         if ((iter + 1) % cfg.checkpointEvery == 0) {
           val chk = joined0.localCheckpoint(true) // truncate lineage
@@ -193,6 +198,12 @@ object Ppr {
       }
     }
     arcsN.unpersist(false)
+    // p / danglingSeeds are loop-only inputs; the final state is pinned by
+    // the (materialized) joined cache, so dropping these never recomputes
+    // an iteration — leaking them made the NEXT run over plan-identical
+    // inputs re-register their cache entries (CacheManager warning spam).
+    p.unpersist(false)
+    danglingSeeds.unpersist(false)
     val wall = (System.nanoTime() - t0) / 1e9
     (x.select(col("qid"), col("vid"), col("x").as("score")),
       PprStats(iter, converged, nEdges * (iter - iter0).toLong * nQueries, wall))

@@ -57,7 +57,9 @@ object PprCsr {
     val threshold = nV.toDouble * cfg.tol
 
     val bcOutW = sc.broadcast(outW)
-    val cached = blocks.persist()
+    // guarded: repeated runs over the same block table (tests, retries)
+    // would re-register an identical plan and spam CacheManager warnings
+    val cached = graft.core.Ids.persistIfUncached(blocks)
     val nEdges = cached.rdd.map(_.dsts.length.toLong).reduce(_ + _)
 
     // p[v*Q+q]: normalized, sanitized reset vectors (HippoRAG.py:1735).

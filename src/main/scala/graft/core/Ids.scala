@@ -15,6 +15,17 @@ object Ids {
   val EntityNs = "entity-"
   val FactNs   = "fact-"
 
+  /** persist() that skips plans the CacheManager already holds (lookup is
+    * BY PLAN, so a twin frame — e.g. a reopened store re-deriving the
+    * same dictionary — hits the existing entry): a re-persist is a no-op
+    * that still logs "Asked to cache already cached data" on every call.
+    */
+  def persistIfUncached[T](ds: org.apache.spark.sql.Dataset[T],
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): org.apache.spark.sql.Dataset[T] =
+    if (ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE) ds
+    else ds.persist(level)
+
   def mdhash(ns: String, content: Column): Column = concat(lit(ns), md5(content))
 
   /** Driver-side twin of [[mdhash]] for tests / literals. */
@@ -42,11 +53,10 @@ object Ids {
     val parts = math.max(1, spark.sparkContext.defaultParallelism)
     // Persisted: counted once for offsets, then re-read for id assignment —
     // without the cache the range-partitioned sort would run twice.
-    val sorted = distinctKeys
+    val sorted = persistIfUncached(distinctKeys
       .repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(col(keyCol))
-      .as[String]
-      .persist()
+      .as[String])
     val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bcOffsets = spark.sparkContext.broadcast(offsets)

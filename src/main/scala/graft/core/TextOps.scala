@@ -55,6 +55,19 @@ object TextOps {
   def sequenceRatio(a: Column, b: Column): Column =
     graftx.column(graftx.SequenceRatio(graftx.expression(a), graftx.expression(b)))
 
+  /** HTML/XML tag strip ≡ regexp_replace(c, "<[^>]*>", "") as one
+    * byte-scan codegen kernel ([[graftx.StripTags]]) — the html→text
+    * extraction step for the Common-Crawl-shaped pages input (the
+    * `html: binary` column that [[htmlText]] decodes). Property-tested
+    * against the regex built-in; PageSynth roundtrip pins the per-row
+    * invariant (strip(html) == text byte-identical per url).
+    */
+  def stripTags(c: Column): Column =
+    graftx.column(graftx.StripTags(graftx.expression(c)))
+
+  /** `html: binary` (UTF-8) → extracted text: decode + [[stripTags]]. */
+  def htmlText(html: Column): Column = stripTags(html.cast("string"))
+
   /** Character n-gram set (sorted distinct) of a string — used for the
     * deterministic trigram-similarity embedding substitute (FIXTURES.md §2).
     */

@@ -583,6 +583,16 @@ dsh AS (
         |       round(avg(len(string_split(entity, ' '))), 9) AS avg_ent_words
         |FROM chunk_ents""".stripMargin),
 
+    // q34 — html tag strip: the byte-scan kernel ≡ RE2's '<[^>]*>'
+    // global replace (identical semantics: no backtracking is involved,
+    // '[^>]*' cannot cross a '>').
+    "q34_html_strip" -> """
+      |SELECT doc_id,
+      |  regexp_replace('<html lang="' || lang || '"><body>' || chr(10) ||
+      |    '<p class="d">' || text || '</p><br/></body></html>',
+      |    '<[^>]*>', '', 'g') AS extracted
+      |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q28_json_extract" -> """
       |SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin,

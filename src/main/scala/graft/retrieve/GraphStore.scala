@@ -111,11 +111,14 @@ class GraphStore(
       case Some((k, g)) if k == key => g
       case prev =>
         prev.foreach(_._2.release())
-        val dict = graft.core.Ids.dictionary(vertices.read().select("key"), "key")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // persistIfUncached: a reopened store over the same root derives
+        // plan-identical frames; re-persisting them would only log
+        // CacheManager warnings (round-3 ask #8).
+        val dict = graft.core.Ids.persistIfUncached(
+          graft.core.Ids.dictionary(vertices.read().select("key"), "key"))
         val nV = dict.count()
-        val arcs = Adjacency.encode(Adjacency.symmetrize(edges.read()), dict)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val arcs = graft.core.Ids.persistIfUncached(
+          Adjacency.encode(Adjacency.symmetrize(edges.read()), dict))
         val nA = arcs.count()
         servingBuilds.incrementAndGet()
         val g = new ServingGraph(dict, nV, arcs, nA, spark,

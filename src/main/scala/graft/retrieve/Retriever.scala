@@ -239,8 +239,15 @@ object Retriever {
     val ranked = scores.join(passages, "vid")
       .select(col("qid"), col("chunk_id"), col("content"), col("score"))
     val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("chunk_id").asc)
-    ranked.withColumn("rank", row_number().over(wr))
+    val out = ranked.withColumn("rank", row_number().over(wr))
       .where(col("rank") <= cfg.retrievalTopK)
+    // Serving hygiene: the kernel's score frame is persisted by the
+    // runner (finish() materializes it for stats); pin the SMALL ranked
+    // result (≤ topK rows/query) and release the V-sized score cache so
+    // repeated batches don't accumulate one cached frame each.
+    val pinned = out.localCheckpoint(true)
+    scores.unpersist(false)
+    pinned
   }
 
   /** Execution-strategy selector for the PPR stage (unit-tested). `nArcs`

@@ -236,6 +236,37 @@ object TextKernels {
     2.0 * matched / (la + lb)
   }
 
+  /** regexp_replace(s, "<[^>]*>", "") — HTML/XML tag strip as one byte
+    * scan. '<' and '>' are ASCII and UTF-8 continuation bytes can never
+    * equal them, so the scan is multi-byte-safe. Equivalence with the
+    * regex (property-tested): a '<' is removed together with everything
+    * up to the NEXT '>' ('[^>]*' cannot cross one); a '<' with no later
+    * '>' anywhere can start no match — and since no later match can
+    * exist either, the rest of the string is copied verbatim.
+    */
+  def stripTags(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      if (in(i) == '<') {
+        var j = i + 1
+        while (j < n && in(j) != '>') j += 1
+        if (j < n) i = j + 1 // tag [i, j] removed
+        else { // no closing '>' ahead: nothing can match anymore
+          while (i < n) { out(o) = in(i); o += 1; i += 1 }
+        }
+      } else {
+        out(o) = in(i)
+        o += 1
+        i += 1
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** regexp_replace(s, "[A-Z][A-Za-z0-9]*", " ") */
   def capRunsToSpace(s: UTF8String): UTF8String = {
     val in = s.getBytes
@@ -319,6 +350,15 @@ case class SequenceRatio(left: Expression, right: Expression)
       s"${ev.value} = org.apache.spark.sql.graftx.TextKernels.seqRatio($l, $r);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+case class StripTags(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_tags"
+  override def nullSafeEval(s: Any): Any = TextKernels.stripTags(s.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"org.apache.spark.sql.graftx.TextKernels.stripTags($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class CapRunsToSpace(child: Expression) extends TextKernelExpression {

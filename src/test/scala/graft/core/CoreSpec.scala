@@ -92,6 +92,36 @@ class CoreSpec extends SparkSpec {
       regexp_replace(col("s"), "[A-Z][A-Za-z0-9]*", " "))
   }
 
+  test("stripTags kernel == regexp_replace '<[^>]*>' (property, tag-heavy corpus)") {
+    import org.apache.spark.sql.graftx
+    // adversarial: nested '<', unclosed '<', bare '>', empty tags '<>',
+    // attributes with quotes, unicode inside and outside tags, newlines
+    val alphabet = "<>ab \"=/pé中\n"
+    val rnd = new scala.util.Random(11)
+    val strs = Seq(
+      "", "<", ">", "<>", "<a>", "a<b>c", "<a><b>", "a<b", "a>b",
+      "<a<b>", "<<x>>", "x<!-- c -->y", "<p class=\"d\">t</p>",
+      "tail<unclosed", "<a\nmultiline=\"1\">x</a>", "é<中>ß",
+      "<html><body>Ent0001 visited Ent0002.</body></html>") ++
+      (0 until 700).map(_ => (0 until rnd.nextInt(50))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val bad = strs.toDF("s")
+      .select(col("s"), TextOps.stripTags(col("s")).as("m"),
+        regexp_replace(col("s"), "<[^>]*>", "").as("r"))
+      .where(not(col("m") <=> col("r"))).collect()
+    assert(bad.isEmpty, s"stripTags diverges, e.g. ${bad.take(3).mkString("; ")}")
+  }
+
+  test("htmlText recovers the byte-identical text column from PageSynth html") {
+    // The input_hint invariant end-to-end through the html path: decode
+    // the binary html column, strip tags, get back `text` exactly.
+    val pages = graft.ingest.PageSynth.pagesDF(spark, 128)
+    val bad = pages.select(col("url"), col("text"),
+        TextOps.htmlText(col("html")).as("stripped"))
+      .where(col("stripped") =!= col("text")).count()
+    assert(bad == 0L)
+  }
+
   test("sequenceRatio == python difflib SequenceMatcher.ratio (goldens)") {
     // expected values generated with CPython difflib (autojunk default)
     val cases = Seq(
