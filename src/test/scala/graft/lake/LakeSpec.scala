@@ -1,0 +1,105 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Direct unit coverage of the manifest/tombstone snapshot layer (the
+  * O(Δ) commit machinery under every store table — round-4 change).
+  * Lifecycle-level behavior (bytes-written probe, reopen, end-state
+  * equality) lives in LifecycleSpec; this spec pins the layer itself.
+  */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(maxEntries: Int = 32): SnapshotTable =
+    new SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_lake").toString,
+      maxEntries = maxEntries)
+
+  private def rows(t: SnapshotTable, k: Int = -1): Set[(Long, String)] = {
+    val df = if (k < 0) t.read() else t.readAt(k)
+    df.collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+  }
+
+  test("append/tombstone fold in order; time travel pins every snapshot") {
+    val t = fresh()
+    val s1 = t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "init")
+    val s2 = t.commitAppend(Seq((3L, "c")).toDF("id", "v"), "append")
+    val s3 = t.commitDelta(
+      append = Some(Seq((2L, "b2")).toDF("id", "v")),
+      deleteKeys = Some(Seq(Tuple1(2L)).toDF("id")),
+      keyCols = Seq("id"), op = "replace")
+    val s4 = t.commitDelta(None, Some(Seq(Tuple1(1L)).toDF("id")), Seq("id"), "del")
+    assert(rows(t, s1) == Set((1L, "a"), (2L, "b")))
+    assert(rows(t, s2) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(t, s3) == Set((1L, "a"), (2L, "b2"), (3L, "c")),
+      "tombstone must hit the old row, not the replacement appended after it")
+    assert(rows(t, s4) == Set((2L, "b2"), (3L, "c")))
+    assert(rows(t) == rows(t, s4))
+    // a key deleted and re-appended LATER survives (order sensitivity)
+    val s5 = t.commitAppend(Seq((1L, "a2")).toDF("id", "v"), "reappend")
+    assert(rows(t, s5) == Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("row counts come from write metrics; delta commits record delta counts") {
+    val t = fresh()
+    t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "init")
+    assert(t.manifest(t.currentSnapshot.get).rows == 2L)
+    t.commitAppend(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), "append")
+    val m2 = t.manifest(t.currentSnapshot.get)
+    assert(m2.rows == 4L && m2.appended == 2L, "append keeps an exact running total")
+    t.commitDelta(None, Some(Seq(Tuple1(3L)).toDF("id")), Seq("id"), "del")
+    val m3 = t.manifest(t.currentSnapshot.get)
+    assert(m3.removedKeys == 1L)
+    assert(m3.rows == -1L,
+      "a tombstone total would need a scan; the layer records -1 + delta counts instead")
+  }
+
+  test("empty delta segments are skipped, not chained") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), "init")
+    val n1 = t.manifest(t.currentSnapshot.get).entries.size
+    t.commitDelta(
+      append = Some(Seq.empty[(Long, String)].toDF("id", "v")),
+      deleteKeys = Some(Seq.empty[Tuple1[Long]].toDF("id")),
+      keyCols = Seq("id"), op = "noop")
+    assert(t.manifest(t.currentSnapshot.get).entries.size == n1,
+      "zero-row segments must not grow the entry list")
+    assert(rows(t) == Set((1L, "a")))
+  }
+
+  test("auto-compaction folds history past maxEntries; compact() resets the list") {
+    val t = fresh(maxEntries = 4)
+    t.commit(Seq((0L, "x")).toDF("id", "v"), "init")
+    for (i <- 1 to 6)
+      t.commitAppend(Seq((i.toLong, s"v$i")).toDF("id", "v"), s"a$i")
+    val m = t.manifest(t.currentSnapshot.get)
+    assert(m.entries.size <= 4 + 1,
+      s"history must have folded (got ${m.entries.size} entries)")
+    assert(m.op.contains("compact") || m.entries.size == 1 ||
+      t.snapshots.exists(k => t.manifest(k).op.contains("compact")))
+    assert(rows(t) == (0 to 6).map(i => (i.toLong, if (i == 0) "x" else s"v$i")).toSet)
+    t.compact()
+    val mc = t.manifest(t.currentSnapshot.get)
+    assert(mc.entries.size == 1 && mc.rows == 7L)
+    assert(rows(t) == (0 to 6).map(i => (i.toLong, if (i == 0) "x" else s"v$i")).toSet)
+  }
+
+  test("expireSnapshots drops old markers and unreferenced segments, keeps live data") {
+    val t = fresh()
+    t.commit(Seq((1L, "a")).toDF("id", "v"), "init")
+    t.commit(Seq((2L, "b")).toDF("id", "v"), "rewrite") // orphans snap 1's segment
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"), "append")
+    val before = t.snapshots
+    assert(before.size == 3)
+    t.expireSnapshots(keepLast = 1)
+    assert(t.snapshots.size == 1)
+    assert(rows(t) == Set((2L, "b"), (3L, "c")), "live data must survive GC")
+    // the orphaned snap-1 segment dir is gone
+    val segRoot = new java.io.File(s"${t.root}/seg")
+    val live = t.manifest(t.currentSnapshot.get).entries.map(_.dir.stripPrefix("seg/")).toSet
+    assert(segRoot.listFiles().map(_.getName).toSet == live,
+      "only segments referenced by surviving manifests may remain")
+  }
+}
