@@ -92,10 +92,15 @@ object ConnectedComponents {
       nEdges = nNext
       iter += 1
     }
-    // At the fixpoint every pair is (root = component min, member): the
-    // labels are the pairs themselves + self labels for roots/isolated.
+    // At the fixpoint every pair is (root = component min, member). The
+    // read-out still groupBy-mins per vertex: mid-contraction (maxIter
+    // exhausted before the fixpoint) a vertex can carry SEVERAL pairs,
+    // and a bare left join would emit duplicate, contradictory label
+    // rows — the min keeps the output well-formed (one row per vertex,
+    // partial labels like the min-label variant's).
+    val roots = edges.groupBy(col("b").as("vid")).agg(min(col("a")).as("root"))
     val labels = vertices
-      .join(edges.select(col("b").as("vid"), col("a").as("root")), Seq("vid"), "left")
+      .join(roots, Seq("vid"), "left")
       .select(col("vid"), coalesce(col("root"), col("vid")).as("component"))
     (labels, iter)
   }

@@ -204,9 +204,17 @@ object Ppr {
     // inputs re-register their cache entries (CacheManager warning spam).
     p.unpersist(false)
     danglingSeeds.unpersist(false)
+    // Pin the final state OUTSIDE the SQL cache and release the last
+    // iteration's cached frame: the returned frame is a projection over a
+    // leaf, so a caller's unpersist() could never reach xCache (the exact
+    // per-batch leak the Retriever's serving path would otherwise
+    // accumulate on the shuffle strategy). The localCheckpoint RDD backs
+    // the returned frame and is GC'd with it by the ContextCleaner.
+    val result = x.select(col("qid"), col("vid"), col("x").as("score"))
+      .localCheckpoint(true)
+    xCache.unpersist(false)
     val wall = (System.nanoTime() - t0) / 1e9
-    (x.select(col("qid"), col("vid"), col("x").as("score")),
-      PprStats(iter, converged, nEdges * (iter - iter0).toLong * nQueries, wall))
+    (result, PprStats(iter, converged, nEdges * (iter - iter0).toLong * nQueries, wall))
   }
 
   private def toDangleDf(spark: SparkSession, m: Map[Long, Double]): DataFrame = {

@@ -87,6 +87,11 @@ class SnapshotTable(val spark: SparkSession, val root: String,
               case _ => Seq.empty
             })
         }
+        // Legacy marker (pre-manifest format): the snapshot's data lives
+        // at snap=<k>/data — synthesize the single-segment manifest so
+        // stores committed by the old layer stay readable.
+        case _ if fs.exists(new Path(s"${snapPath(k)}/data")) =>
+          Seq(Entry(s"snap=$k/data", "data", Seq.empty))
         case _ => Seq.empty
       })
   }
@@ -157,6 +162,12 @@ class SnapshotTable(val spark: SparkSession, val root: String,
       "tombstone commits need explicit key columns")
     val parent = currentSnapshot.map(manifest)
     val parentEntries = parent.map(_.entries).getOrElse(Seq.empty)
+    // No parent state: a tombstone is meaningless and an append is a
+    // first commit — route to commit() so the (possibly empty) data
+    // segment is kept and the snapshot stays readable.
+    if (parentEntries.isEmpty)
+      return commit(append.getOrElse(throw new IllegalStateException(
+        s"tombstone-only delta commit on empty table $root")), op)
     if (parentEntries.size >= maxEntries) {
       // Fold history: compact the would-be result into one segment.
       val base = assemble(parentEntries)

@@ -88,9 +88,12 @@ object Ann {
     * assign (in-row argmax over centroid dots, NO shuffle — the same
     * expression [[ivfTopKWith]] uses) → per-cell mean (one map-side-
     * combinable groupBy over `sampleFraction` of the rows) → L2
-    * normalize. Empty cells keep their previous centroid. Everything is
-    * a pure function of (data, seed), so runs are identical at any
-    * parallelism — no RNG anywhere.
+    * normalize. Empty cells keep their previous centroid. No RNG
+    * anywhere: a rerun over the same data and layout is bit-identical,
+    * and the hash-bucket sample is layout-invariant; across DIFFERENT
+    * partitionings the per-cell mean is a floating-point sum whose
+    * combine order Spark does not fix, so centroids agree only up to
+    * summation-order ulps (assert with a tolerance, not bitwise).
     *
     * Scale shape: each round is one narrow projection + one aggregation
     * of nCells×dim floats to the driver; at 100 TB sample ~10⁶ rows

@@ -249,12 +249,16 @@ object Dedup {
       } else {
         // Normalize once so bucket signs are unchanged (positive scaling)
         // and the pair score is a plain dot == cosine (float-rounded —
-        // this regime is approximate by design and recall-guarded).
+        // this regime is approximate by design and recall-guarded). The
+        // norm is HOISTED to its own column first: nesting the aggregate
+        // inside the transform lambda would re-scan the vector per
+        // ELEMENT (O(dim²)/row) on exactly the huge-corpus path.
         val dim = vecs.select(size(col(vecCol))).first().getInt(0)
-        val unit = transform(col(vecCol),
-          x => x / sqrt(aggregate(col(vecCol), lit(0.0d),
-            (acc, v) => acc + v * v))).cast("array<float>")
-        val normed = vecs.select(col(idCol).as("id"), unit.as("v"))
+        val normed = vecs
+          .select(col(idCol).as("id"), col(vecCol).as("v0"),
+            graft.functions.VectorOps.norm(col(vecCol)).as("n"))
+          .select(col("id"),
+            transform(col("v0"), x => x / col("n")).cast("array<float>").as("v"))
         val q = normed.select(col("id").as("qid"), col("v").as("qvec"))
         val k = normed.select(col("id").as("kid"), col("v").as("kvec"))
         Ann.lshTopKJoin(q, k, lshTopK,

@@ -104,6 +104,13 @@ class GraphStore(
     * the same persisted dictionary/arcs and the same broadcast CSR; any
     * index/delete commit moves a snapshot id and the next call rebuilds
     * (releasing the old persists + broadcast).
+    *
+    * Concurrency contract: release() destroys the PREVIOUS graph's
+    * broadcast eagerly, so maintenance (index/delete) and the first
+    * retrieve after it must not race a still-running batch on the old
+    * version — one writer, serve-or-maintain, like the reference's
+    * single-process store. A serve-while-maintain deployment would swap
+    * release() for ref-counted / deferred destruction.
     */
   def servingGraph(): ServingGraph = synchronized {
     val key = (edges.currentSnapshot, vertices.currentSnapshot)

@@ -168,13 +168,16 @@ class OpsSpec extends SparkSpec {
     // pure function of (data, seed): retraining is bit-identical
     val again = Ann.trainCentroids(vecs, "id", "v", nCells = 8, dim = dim, iters = 5)
     assert(trained.zip(again).forall { case (a, b) => a.sameElements(b) })
-    // deterministic hash-bucket sampling is partition-invariant: the
-    // sampled training run equals itself under a different layout
+    // the hash-bucket sample is layout-invariant (same rows selected);
+    // the per-cell mean is a float sum whose combine order Spark does not
+    // fix across layouts, so compare with a summation-order tolerance
     val sampled = Ann.trainCentroids(vecs, "id", "v", nCells = 8, dim = dim,
       iters = 3, sampleFraction = 0.7)
     val sampled2 = Ann.trainCentroids(vecs.repartition(13), "id", "v", nCells = 8,
       dim = dim, iters = 3, sampleFraction = 0.7)
-    assert(sampled.zip(sampled2).forall { case (a, b) => a.sameElements(b) })
+    val maxDiff = sampled.zip(sampled2)
+      .flatMap { case (a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) } }.max
+    assert(maxDiff < 1e-5f, s"layout changed sampled centroids by $maxDiff")
   }
 
   test("embedding near-dup groups: transitive clusters, singletons keep themselves") {
