@@ -140,16 +140,18 @@ object Bench {
   }
 
   case class LevelResult(
-      buildWall: Double, graphWall: Double, pprWall: Double, pprWalls: Seq[Double],
+      buildWall: Double, ccWall: Double, graphWall: Double,
+      pprWall: Double, pprWalls: Seq[Double],
       nV: Long, nE: Long, iters: Long,
       edgesPerSec: Double, itersPerSec: Double, queriesPerSec: Double)
 
-  /** Phases A+B of a scaling level: end-to-end build from the input_hint
-    * pages shape, then dictionary+encode+CSR over the big arc table.
-    * Returns (buildWall, graphWall, scaling CSR, nV).
+  /** Phases A+A2+B of a scaling level: end-to-end build from the
+    * input_hint pages shape, star-contraction CC over that graph, then
+    * dictionary+encode+CSR over the big arc table.
+    * Returns (buildWall, ccWall, graphWall, scaling CSR, nV).
     */
   private def runBuildPhases(spark: SparkSession, dir: String)
-      : (Double, Double, PprShard.LocalCsr, Long) = {
+      : (Double, Double, Double, PprShard.LocalCsr, Long) = {
     import graft.extract.Extract
     import graft.graph.GraphBuild
 
@@ -190,11 +192,25 @@ object Bench {
         .unionAll(sym.select(col("dst").as("key"))), "key")
     val nV = dict.count()
     val arcs = Adjacency.encode(sym, dict)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val csr = PprShard.buildLocal(arcs, nV.toInt)
-    sym.unpersist(false)
     val graphWall = (System.nanoTime() - tg0) / 1e9
     lap(s"scaling graph: ${nV} v, ${csr.nEdges} arcs", tg0)
-    (buildWall, graphWall, csr, nV)
+
+    // ---- phase C: star-contraction connected components over the BIG
+    // Zipf edge table (the north rule names CC next to PageRank — its
+    // scaling is measured here, not assumed; the pages graph is too small
+    // to measure anything but scheduling latency). The distinct-component
+    // count forces the labels.
+    val tcc0 = System.nanoTime()
+    val (ccLabels, ccRounds) = graft.algo.ConnectedComponents.run(
+      arcs, dict.select("vid"))
+    val nComp = ccLabels.select("component").distinct().count()
+    val ccWall = (System.nanoTime() - tcc0) / 1e9
+    lap(s"star CC (scaling graph): $nComp components in $ccRounds rounds", tcc0)
+    arcs.unpersist(false)
+    sym.unpersist(false)
+    (buildWall, ccWall, graphWall, csr, nV)
   }
 
   /** One PPR block: fresh broadcast + one untimed warmup run, then `reps`
@@ -285,8 +301,9 @@ object Bench {
     // at every block — only the session's core count changes).
     val blocksPerLevel = 3
     val repsPerBlock = math.max(1, (scaleReps + blocksPerLevel - 1) / blocksPerLevel)
-    val buildReps = scala.collection.mutable.Map(8 -> Seq.empty[(Double, Double)],
-      32 -> Seq.empty[(Double, Double)])
+    val buildReps = scala.collection.mutable.Map(
+      8 -> Seq.empty[(Double, Double, Double)],
+      32 -> Seq.empty[(Double, Double, Double)])
     val pprReps = scala.collection.mutable.Map(8 -> Seq.empty[Double], 32 -> Seq.empty[Double])
     var csrShared: PprShard.LocalCsr = null
     var nVShared = 0L
@@ -297,8 +314,8 @@ object Bench {
       // build measurement aliases a single bad steal window straight into
       // the build-efficiency ratio, exactly what interleaving exists to
       // prevent. Per-level build/graph = median of the three blocks.
-      val (bw, gw, csr, nV) = runBuildPhases(s, scaleDir)
-      buildReps(cores) = buildReps(cores) :+ (bw, gw)
+      val (bw, cw, gw, csr, nV) = runBuildPhases(s, scaleDir)
+      buildReps(cores) = buildReps(cores) :+ ((bw, cw, gw))
       if (csrShared == null) { csrShared = csr; nVShared = nV }
       else require(csr.nEdges == csrShared.nEdges && nV == nVShared,
         "scaling graph must be identical at both levels and blocks")
@@ -307,7 +324,7 @@ object Bench {
       if (statsShared == null) statsShared = stats
       pprReps(cores) = pprReps(cores) ++ walls
       System.err.println(f"[bench] block $block local[$cores] " +
-        f"build/graph: ${bw}%.1f/${gw}%.1f, ppr reps: " +
+        f"build/cc/graph: ${bw}%.1f/${cw}%.1f/${gw}%.1f, ppr reps: " +
         walls.map("%.2f".format(_)).mkString(" "))
       s.stop()
     }
@@ -316,7 +333,8 @@ object Bench {
       val m = median(walls)
       LevelResult(
         buildWall = median(buildReps(cores).map(_._1)),
-        graphWall = median(buildReps(cores).map(_._2)),
+        ccWall = median(buildReps(cores).map(_._2)),
+        graphWall = median(buildReps(cores).map(_._3)),
         pprWall = m, pprWalls = walls,
         nV = nVShared, nE = csrShared.nEdges,
         iters = statsShared.iterations.toLong,
@@ -328,6 +346,7 @@ object Bench {
     val r32 = level(32)
     val effPpr = (r32.queriesPerSec / r8.queriesPerSec) / 4.0
     val effBuild = (r8.buildWall / r32.buildWall) / 4.0
+    val effCc = (r8.ccWall / r32.ccWall) / 4.0
     val effGraph = (r8.graphWall / r32.graphWall) / 4.0
     val effTotal = ((r8.buildWall + r8.graphWall + r8.pprWall) /
       (r32.buildWall + r32.graphWall + r32.pprWall)) / 4.0
@@ -339,20 +358,46 @@ object Bench {
     // arrays, so the judge can re-derive either.
     val effPprBest = (r8.pprWalls.min / r32.pprWalls.min) / 4.0
     val effBuildBest = (buildReps(8).map(_._1).min / buildReps(32).map(_._1).min) / 4.0
-    val effGraphBest = (buildReps(8).map(_._2).min / buildReps(32).map(_._2).min) / 4.0
-    val effTotalBest = ((buildReps(8).map(_._1).min + buildReps(8).map(_._2).min +
+    val effCcBest = (buildReps(8).map(_._2).min / buildReps(32).map(_._2).min) / 4.0
+    val effGraphBest = (buildReps(8).map(_._3).min / buildReps(32).map(_._3).min) / 4.0
+    val effTotalBest = ((buildReps(8).map(_._1).min + buildReps(8).map(_._3).min +
       r8.pprWalls.min) /
-      (buildReps(32).map(_._1).min + buildReps(32).map(_._2).min +
+      (buildReps(32).map(_._1).min + buildReps(32).map(_._3).min +
         r32.pprWalls.min)) / 4.0
 
     // ---- Hardware ceilings, measured in the same run (see BENCH.md).
+    // Shuffle ceiling: ONE full hash-shuffle (write + fetch + merge) of
+    // `shuffleN` single-long rows through a noop sink, no compute — the
+    // in-JVM local-mode roof for any shuffle-bound phase (star CC, graph
+    // encode, extraction), the way the FMA probe is the roof for the
+    // compute-bound PPR kernel. Local mode shares ONE disk and one memory
+    // bus across all "executors"; a real N→4N executor scale-out brings
+    // its own spindles/NICs per node.
+    val shuffleN = sys.env.getOrElse("GRAFT_BENCH_SHUFFLE_ROWS", "80000000").toLong
+    def shuffleWall(cores: Int): Double = {
+      val s = session(cores, cores)
+      try {
+        def pass(n: Long): Double = {
+          val t0 = System.nanoTime()
+          s.range(n).select(xxhash64(col("id")).as("k"))
+            .repartition(cores * 2, col("k"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        pass(shuffleN / 8) // warmup
+        math.min(pass(shuffleN), pass(shuffleN))
+      } finally s.stop()
+    }
+    val sw8 = shuffleWall(8)
+    val sw32 = shuffleWall(32)
+    val shuffleEff = (sw8 / sw32) / 4.0
     val md5Eff = median((1 to 3).map(_ => md5Ceiling()._1))
     val fmaEff = median((1 to 3).map(_ => FmaProbe.ceiling(40000000)._1))
     val stream8 = StreamProbe.triad(8, 4 << 20, 6)
     val stream32 = StreamProbe.triad(32, 4 << 20, 6)
 
     def levelJson(r: LevelResult): String =
-      s"""{"build_sec":${"%.2f".format(r.buildWall)},"graph_sec":${"%.2f".format(r.graphWall)},""" +
+      s"""{"build_sec":${"%.2f".format(r.buildWall)},"cc_sec":${"%.2f".format(r.ccWall)},"graph_sec":${"%.2f".format(r.graphWall)},""" +
       s""""ppr_sec":${"%.2f".format(r.pprWall)},""" +
       s""""ppr_sec_reps":[${r.pprWalls.map("%.2f".format(_)).mkString(",")}],""" +
       s""""total_sec":${"%.2f".format(r.buildWall + r.graphWall + r.pprWall)},"iters":${r.iters},""" +
@@ -368,16 +413,21 @@ object Bench {
       s""""local8":${levelJson(r8)},"local32":${levelJson(r32)},""" +
       s""""efficiency_ppr":${"%.3f".format(effPpr)},"efficiency_build":${"%.3f".format(effBuild)},""" +
       s""""efficiency_graph":${"%.3f".format(effGraph)},""" +
+      s""""efficiency_cc":${"%.3f".format(effCc)},""" +
       s""""efficiency_total":${"%.3f".format(effTotal)},""" +
       s""""efficiency_ppr_best":${"%.3f".format(effPprBest)},""" +
       s""""efficiency_build_best":${"%.3f".format(effBuildBest)},""" +
       s""""efficiency_graph_best":${"%.3f".format(effGraphBest)},""" +
+      s""""efficiency_cc_best":${"%.3f".format(effCcBest)},""" +
       s""""efficiency_total_best":${"%.3f".format(effTotalBest)},""" +
       s""""ppr_spread_8":${"%.3f".format(spread(r8.pprWalls))},""" +
       s""""ppr_spread_32":${"%.3f".format(spread(r32.pprWalls))},""" +
       s""""ppr_iqr_8":${"%.3f".format(iqr(r8.pprWalls))},""" +
       s""""ppr_iqr_32":${"%.3f".format(iqr(r32.pprWalls))},""" +
       s""""hw_ceiling_8to32":${"%.3f".format(md5Eff)},""" +
+      s""""shuffle_ceiling_8to32":${"%.3f".format(shuffleEff)},""" +
+      s""""shuffle_rows_per_sec_32":${"%.0f".format(shuffleN / sw32)},""" +
+      s""""efficiency_cc_vs_shuffle":${"%.3f".format(effCc / shuffleEff)},""" +
       s""""fma_ceiling_8to32":${"%.3f".format(fmaEff)},""" +
       s""""stream_gbps_8":${"%.1f".format(stream8)},"stream_gbps_32":${"%.1f".format(stream32)},""" +
       s""""efficiency_ppr_vs_hw":${"%.3f".format(effPpr / md5Eff)},""" +
@@ -412,13 +462,15 @@ object Bench {
       s"reps and the (max-min)/median spread shown. No real cluster exists in\n" +
       s"this sandbox: two local parallelism levels over the same persisted\n" +
       s"input are the documented N->4N proxy.\n\n" +
-      "| level | build sec | graph sec | PPR sec (median) | PPR reps | spread | iters/sec | edges/sec | queries/sec |\n" +
-      "|---|---|---|---|---|---|---|---|---|\n" +
-      s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.graphWall)} | ${"%.2f".format(r8.pprWall)} | ${reps(r8)} | ${"%.0f%%".format(100 * spread(r8.pprWalls))} | ${"%.1f".format(r8.itersPerSec)} | ${"%.2e".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +
-      s"| local[32] | ${"%.2f".format(r32.buildWall)} | ${"%.2f".format(r32.graphWall)} | ${"%.2f".format(r32.pprWall)} | ${reps(r32)} | ${"%.0f%%".format(100 * spread(r32.pprWalls))} | ${"%.1f".format(r32.itersPerSec)} | ${"%.2e".format(r32.edgesPerSec)} | ${"%.1f".format(r32.queriesPerSec)} |\n\n" +
+      "| level | build sec | star-CC sec | graph sec | PPR sec (median) | PPR reps | spread | iters/sec | edges/sec | queries/sec |\n" +
+      "|---|---|---|---|---|---|---|---|---|---|\n" +
+      s"| local[8]  | ${"%.2f".format(r8.buildWall)} | ${"%.2f".format(r8.ccWall)} | ${"%.2f".format(r8.graphWall)} | ${"%.2f".format(r8.pprWall)} | ${reps(r8)} | ${"%.0f%%".format(100 * spread(r8.pprWalls))} | ${"%.1f".format(r8.itersPerSec)} | ${"%.2e".format(r8.edgesPerSec)} | ${"%.1f".format(r8.queriesPerSec)} |\n" +
+      s"| local[32] | ${"%.2f".format(r32.buildWall)} | ${"%.2f".format(r32.ccWall)} | ${"%.2f".format(r32.graphWall)} | ${"%.2f".format(r32.pprWall)} | ${reps(r32)} | ${"%.0f%%".format(100 * spread(r32.pprWalls))} | ${"%.1f".format(r32.itersPerSec)} | ${"%.2e".format(r32.edgesPerSec)} | ${"%.1f".format(r32.queriesPerSec)} |\n\n" +
       s"**Scaling efficiency (8->32 cores), median-of-reps: PPR ${"%.3f".format(effPpr)}, " +
-      s"build ${"%.3f".format(effBuild)}, whole job ${"%.3f".format(effTotal)}**\n\n" +
+      s"star-CC ${"%.3f".format(effCc)}, build ${"%.3f".format(effBuild)}, " +
+      s"whole job ${"%.3f".format(effTotal)}**\n\n" +
       s"**Best-rep (min wall per level): PPR ${"%.3f".format(effPprBest)}, " +
+      s"star-CC ${"%.3f".format(effCcBest)}, " +
       s"build ${"%.3f".format(effBuildBest)}, graph ${"%.3f".format(effGraphBest)}, " +
       s"whole job ${"%.3f".format(effTotalBest)}** — the reproducible\n" +
       s"statistic on this VM: medians straddle the bimodal steal/turbo modes\n" +
@@ -430,7 +482,14 @@ object Bench {
       s"| md5 burn (int ALU, no shared state) | integer core scaling | ${"%.3f".format(md5Eff)} |\n" +
       s"| FMA loops (FP, L1-resident, no shared state) | floating-point core scaling | ${"%.3f".format(fmaEff)} |\n" +
       s"| stream triad 8 threads | DRAM roof | ${"%.1f".format(stream8)} GB/s |\n" +
-      s"| stream triad 32 threads | DRAM roof | ${"%.1f".format(stream32)} GB/s |\n\n" +
+      s"| stream triad 32 threads | DRAM roof | ${"%.1f".format(stream32)} GB/s |\n" +
+      s"| noop hash-shuffle of ${shuffleN / 1000000}M longs | shuffle-bound phase scaling (CC, encode) | ${"%.3f".format(shuffleEff)} (${"%.1f".format(sw8)}s @8 -> ${"%.1f".format(sw32)}s @32) |\n\n" +
+      s"Star CC on the scaling graph: ${"%.3f".format(effCc)} raw = " +
+      s"${"%.3f".format(effCc / shuffleEff)} of the shuffle ceiling — the phase\n" +
+      s"is shuffle-bound (5-6 full exchanges of the pair set per round), and a\n" +
+      s"single-box proxy shuffles through ONE disk and memory bus at every\n" +
+      s"core count. PPR, the throughput metric the north rule names, is\n" +
+      s"compute-bound and scales against the FMA ceiling instead.\n\n" +
       s"(A third wall was measured and designed out this round: java.util.regex\n" +
       s"matching thread-scales at ~0.30 on this VM even allocation-free with\n" +
       s"per-thread Patterns — the extraction stage now runs on hand-rolled\n" +

@@ -47,7 +47,11 @@ object ConnectedComponents {
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var nEdges = cur.count()
+    // bit_xor, not sum: ANSI mode overflow-checks long sums; xor is
+    // order-insensitive and exact over the DISTINCT pair set.
+    val p0 = cur.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
+    var nEdges = p0.getLong(0)
+    var lastChecksum = if (p0.isNullAt(1)) 0L else p0.getLong(1)
     var edges = reRoot(cur)
     var iter = 0
     var converged = nEdges == 0L
@@ -78,9 +82,20 @@ object ConnectedComponents {
         .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nNext = next0.count()
-      // Fixpoint iff the edge sets are equal: sizes match and next ⊆ prev.
-      converged = nNext == nEdges && next0.except(edges).isEmpty
+      // Fixpoint iff the edge sets are equal. The cheap probe — size +
+      // order-insensitive content checksum, ONE aggregate on the frame
+      // being materialized anyway — almost never matches before the
+      // fixpoint, so the EXACT set comparison (an except, a full extra
+      // shuffle + barrier per round) runs only when the probe says
+      // "likely converged": exactness is preserved, the per-round cost is
+      // one action.
+      val probe = next0.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
+      val nNext = probe.getLong(0)
+      val ckNext = if (probe.isNullAt(1)) 0L else probe.getLong(1)
+      val ckPrev = lastChecksum
+      lastChecksum = ckNext
+      converged = nNext == nEdges && ckNext == ckPrev &&
+        next0.except(edges).isEmpty
       afterLarge.unpersist(false)
       cur.unpersist(false)
       // Truncate the cached RDD's own lineage periodically (a lost cache
