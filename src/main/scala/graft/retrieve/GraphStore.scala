@@ -135,6 +135,25 @@ class GraphStore(
     }
   }
 
+  /** All snapshot tables of this store, in commit order. */
+  def tables: Seq[SnapshotTable] = Seq(chunks, triples, factEdges,
+    passageEdges, synEdges, edges, vertices, chunkEmb, entityEmb, factEmb)
+
+  /** Lake maintenance: fold every table's delta history into one segment
+    * (read-plan reset) and GC snapshots/segments past `keepSnapshots`.
+    * Run it off the serving path — the O(Δ) commit design trades write
+    * bytes for read-plan depth, and this is where the depth is reclaimed.
+    * Time travel remains for the kept snapshots; current state unchanged.
+    */
+  def maintain(keepSnapshots: Int = 2): Unit = synchronized {
+    tables.foreach { t =>
+      if (!t.isEmpty) {
+        if (t.manifest(t.currentSnapshot.get).entries.size > 1) t.compact()
+        t.expireSnapshots(keepSnapshots)
+      }
+    }
+  }
+
   /** Current chunk snapshot, upgraded in place to [[chunkSchema]]: stores
     * committed before the S7 metadata column existed hold only
     * (chunk_id, content) — pad those with an empty map so incremental

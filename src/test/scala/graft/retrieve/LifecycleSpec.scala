@@ -272,6 +272,29 @@ class LifecycleSpec extends SparkSpec {
     assert(store.chunks.read().join(gone, Seq("chunk_id"), "left_semi").count() == 0)
   }
 
+  test("store maintenance: compaction + snapshot GC preserve state and serving") {
+    val store = freshStore()
+    Indexer.index(store, docs.toDF("content"))
+    Indexer.index(store, extraDocs.toDF("content"))   // delta commits
+    Indexer.delete(store, extraDocs.toDF("content"))  // tombstone commits
+    val queries = Seq(0L -> "where is the Louvre")
+    val cfg = Retriever.RetrieveConfig(retrievalTopK = 5)
+    def res() = Retriever.retrieve(store, queries, cfg).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("chunk_id"))).toSet
+    val before = res()
+    def state() = store.tables.map(t =>
+      if (t.isEmpty) Set.empty[String]
+      else t.read().collect().map(_.toString).toSet)
+    val stateBefore = state()
+    store.maintain(keepSnapshots = 1)
+    assert(store.tables.forall(t => t.isEmpty || t.snapshots.size <= 1))
+    assert(store.tables.forall(t =>
+      t.isEmpty || t.manifest(t.currentSnapshot.get).entries.size == 1),
+      "every table must be a single compacted segment after maintain()")
+    assert(state() == stateBefore, "maintenance must not change any table's content")
+    assert(res() == before, "retrieval must be identical after maintenance")
+  }
+
   test("serving graph is cached across retrieve batches, invalidated by commits") {
     val store = freshStore()
     Indexer.index(store, docs.toDF("content"))
