@@ -117,7 +117,12 @@ object ConnectedComponents {
     val labels = vertices
       .join(roots, Seq("vid"), "left")
       .select(col("vid"), coalesce(col("root"), col("vid")).as("component"))
-    (labels, iter)
+    // Pin the O(V) labels and release the O(E) pair-set cache — callers
+    // can't reach `cur`, so returning a frame that depends on it would
+    // leak one cached edge set per CC invocation.
+    val pinned = labels.localCheckpoint(true)
+    cur.unpersist(false)
+    (pinned, iter)
   }
 
   /** Synchronous min-label propagation to fixpoint:
@@ -150,6 +155,8 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist(false)
-    (labels.select("vid", "component"), iter)
+    val pinned = labels.select("vid", "component").localCheckpoint(true)
+    labels.unpersist(false)
+    (pinned, iter)
   }
 }

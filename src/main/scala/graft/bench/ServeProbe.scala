@@ -43,7 +43,7 @@ object ServeProbe {
 
     val walls = (0 until nBatches).map { b =>
       val queries = (0 until batchQ).map(i =>
-        (b.toLong * batchQ + i) -> s"Ent${(b * 131 + i * 7) % 2048}%04d links cites")
+        (b.toLong * batchQ + i) -> f"Ent${(b * 131 + i * 7) % 2048}%04d links cites")
       val t = System.nanoTime()
       val n = Retriever.retrieve(store, queries,
         Retriever.RetrieveConfig(retrievalTopK = 20)).count()

@@ -60,11 +60,18 @@ object Ids {
     val counts = sorted.mapPartitions(it => Iterator.single(it.size)).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val bcOffsets = spark.sparkContext.broadcast(offsets)
-    sorted.rdd
+    val result = sorted.rdd
       .mapPartitionsWithIndex { case (pid, it) =>
         val base = bcOffsets.value(pid)
         it.zipWithIndex.map { case (k, i) => (k, base + i) }
       }
       .toDF(keyCol, idCol)
+    // Pin the dictionary and RELEASE the internal sorted cache: callers
+    // can't reach it (one O(V) cache entry would otherwise leak per
+    // dictionary build — per serving-graph rebuild in a long process).
+    // The eager checkpoint is one extra pass over V small rows.
+    val pinned = result.localCheckpoint(true)
+    sorted.unpersist(false)
+    pinned
   }
 }

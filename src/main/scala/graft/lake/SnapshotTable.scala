@@ -215,7 +215,13 @@ class SnapshotTable(val spark: SparkSession, val root: String,
     val all = snapshots
     val keep = all.takeRight(math.max(1, keepLast))
     val live = keep.flatMap(k => manifest(k).entries.map(_.dir)).toSet
-    all.filterNot(keep.contains).foreach(k => fs.delete(new Path(snapPath(k)), true))
+    all.filterNot(keep.contains).foreach { k =>
+      // A LEGACY snapshot's data lives INSIDE its snap dir (snap=k/data)
+      // and may still be referenced by a kept manifest (the synthesized
+      // legacy entry): drop only the marker then, never the data.
+      if (live.contains(s"snap=$k/data")) fs.delete(marker(k), false)
+      else fs.delete(new Path(snapPath(k)), true)
+    }
     val segRoot = new Path(s"$root/seg")
     if (fs.exists(segRoot))
       fs.listStatus(segRoot).foreach { st =>

@@ -146,6 +146,10 @@ class GraphStore(
     * Time travel remains for the kept snapshots; current state unchanged.
     */
   def maintain(keepSnapshots: Int = 2): Unit = synchronized {
+    // The cached serving graph's persisted frames would otherwise try to
+    // recompute through segments this pass is about to GC.
+    servingCache.foreach(_._2.release())
+    servingCache = None
     tables.foreach { t =>
       if (!t.isEmpty) {
         if (t.manifest(t.currentSnapshot.get).entries.size > 1) t.compact()

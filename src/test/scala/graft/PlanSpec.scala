@@ -51,6 +51,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"IVF assignment shuffled:\n$plan")
   }
 
+  test("manifest-table reads keep predicate pushdown through segments + tombstones") {
+    import spark.implicits._
+    // An O(Δ) snapshot read is union(data segments) anti-join tombstones;
+    // a filter must still reach EVERY parquet segment scan — otherwise a
+    // 100-TB table with one tombstone would full-scan on every query.
+    val t = new graft.lake.SnapshotTable(spark,
+      java.nio.file.Files.createTempDirectory("graft_lakeplan").toString)
+    t.commit(Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "v", "n"), "init")
+    t.commitDelta(Some(Seq((3L, "c", 30)).toDF("id", "v", "n")),
+      Some(Seq(Tuple1(2L)).toDF("id")), Seq("id"), "delta")
+    val df = t.read().where(col("n") > 15).select("id", "n")
+    val plan = planOf(df)
+    val pushes = "PushedFilters: \\[IsNotNull\\(n\\), GreaterThan\\(n,15\\)\\]".r
+      .findAllIn(plan).size
+    assert(pushes == 2, s"filter must push into BOTH data segment scans:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,n:int"),
+      s"column pruning must reach the segment scans:\n$plan")
+  }
+
   test("dedup/groupBy plans use partial (map-side) aggregation") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = planOf(graft.ops.Dedup.exact(docs, "text", "doc_id"))

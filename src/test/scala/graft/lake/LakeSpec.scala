@@ -86,6 +86,29 @@ class LakeSpec extends SparkSpec {
     assert(rows(t) == (0 to 6).map(i => (i.toLong, if (i == 0) "x" else s"v$i")).toSet)
   }
 
+  test("legacy pre-manifest stores: readable, appendable, and GC never eats their data") {
+    // Simulate a store committed by the old layer: data at snap=1/data,
+    // marker without an "entries" key.
+    val root = java.nio.file.Files.createTempDirectory("graft_legacy").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$root/snap=1/data")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$root/snap=1/_COMMITTED"),
+      """{"snapshot":1,"op":"legacy","rows":2}""".getBytes("UTF-8"))
+    val t = new SnapshotTable(spark, root)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")), "legacy marker must resolve to snap=1/data")
+    // Delta commits extend the legacy manifest...
+    t.commitAppend(Seq((3L, "c")).toDF("id", "v"), "append")
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // ...and GC must keep snap=1/data alive while the kept manifest
+    // references it (the round-4 review found wholesale snap-dir deletion
+    // here — data loss on exactly the upgrade path).
+    t.expireSnapshots(keepLast = 1)
+    assert(t.snapshots == Seq(2))
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "legacy data referenced by the kept manifest must survive GC")
+  }
+
   test("expireSnapshots drops old markers and unreferenced segments, keeps live data") {
     val t = fresh()
     t.commit(Seq((1L, "a")).toDF("id", "v"), "init")
