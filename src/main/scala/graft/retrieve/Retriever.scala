@@ -39,6 +39,14 @@ object Retriever {
       // retrieve()); above them, the sparse shuffle path takes over.
       csrMaxVertices: Long = 2000000L,
       shardMaxArcs: Long = 5000000L,
+      // Query embedder — must match the STORE's embedders for the dot
+      // products to mean anything (reference: the same embedding model
+      // encodes queries with task instructions and stores without,
+      // HippoRAG.py:1391-1425). Default mirrors the reference's mock;
+      // pass Embeddings.trigramUnitUdf for stores built with trigram
+      // embedders.
+      embedQuery: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Embeddings.hashUnitUdf,
       // The vertex-major CSR kernel holds (and broadcasts) a dense V×Q
       // rank state and collects a ≤ V×Q seed frame — both are gated on
       // this bound (entries; 2^24 doubles = 128 MB). Past it the branch
@@ -51,13 +59,15 @@ object Retriever {
     * (HippoRAG.py:1391-1425, prompts/linking.py): one vector for fact
     * scoring, one for passage scoring.
     */
-  def queryFrame(spark: SparkSession, queries: Seq[(Long, String)]): DataFrame = {
+  def queryFrame(spark: SparkSession, queries: Seq[(Long, String)],
+                 embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+                   Embeddings.hashUnitUdf): DataFrame = {
     import spark.implicits._
     queries.toDF("qid", "query")
       .withColumn("qvec_fact",
-        Embeddings.hashUnitUdf(concat(lit("query_to_fact:"), col("query"))))
+        embed(concat(lit("query_to_fact:"), col("query"))))
       .withColumn("qvec_passage",
-        Embeddings.hashUnitUdf(concat(lit("query_to_passage:"), col("query"))))
+        embed(concat(lit("query_to_passage:"), col("query"))))
   }
 
   /** Fact scores per query: dot against every fact embedding, min-max
@@ -163,7 +173,7 @@ object Retriever {
     */
   def linkingScoreMap(store: GraphStore, queries: Seq[(Long, String)],
                       cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
-    val qdf = queryFrame(store.spark, queries)
+    val qdf = queryFrame(store.spark, queries, cfg.embedQuery)
     val w = Window.partitionBy("qid").orderBy(col("weight").desc, col("key").asc)
     seedWeights(store, qdf, cfg)
       .withColumn("rank", row_number().over(w))
@@ -183,7 +193,7 @@ object Retriever {
     // recomputing it per consumer is cheaper than a cache entry, and two
     // retrieve() calls with the same queries would re-cache an identical
     // plan (CacheManager warning spam).
-    val qdf = queryFrame(spark, queries)
+    val qdf = queryFrame(spark, queries, cfg.embedQuery)
     val seedsByKey = seedWeights(store, qdf, cfg)
 
     // --- encode to vids, run multi-query PPR over the symmetrized graph.
@@ -304,8 +314,9 @@ object Retriever {
   /** StandardRAG / DPR-only ranking (reference StandardRAG.py:422-429, W1):
     * full ordering of passages by normalized dense score.
     */
-  def denseRetrieve(store: GraphStore, queries: Seq[(Long, String)], topK: Int): DataFrame = {
-    val qdf = queryFrame(store.spark, queries)
+  def denseRetrieve(store: GraphStore, queries: Seq[(Long, String)], topK: Int,
+                    cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
+    val qdf = queryFrame(store.spark, queries, cfg.embedQuery)
     val dpr = dprScores(qdf, store.chunkEmb.read())
     val w = Window.partitionBy("qid").orderBy(col("dpr").desc, col("chunk_id").asc)
     dpr.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
