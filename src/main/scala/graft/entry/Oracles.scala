@@ -571,6 +571,10 @@ dsh AS (
       |SELECT key, score FROM read_parquet(
       |    '/root/repo/src/test/resources/goldens/q27_sf0.01.parquet/*.parquet')
       |  WHERE (SELECT h FROM fp) = '486571b645d130d4474e780cd131072a'
+      |UNION ALL
+      |SELECT key, score FROM read_parquet(
+      |    '/root/repo/src/test/resources/goldens/q27_sf0.1.parquet/*.parquet')
+      |  WHERE (SELECT h FROM fp) = '831ea9d2e1640d34f43fe75fea4aa2a8'
       |ORDER BY score DESC, key ASC""".stripMargin,
 
     "q26_degrees" -> q(

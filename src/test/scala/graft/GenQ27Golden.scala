@@ -20,7 +20,7 @@ object GenQ27Golden {
   def main(args: Array[String]): Unit = {
     val spark = TestSpark.spark
     val out = "src/test/resources/goldens"
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val df = graft.entry.DocQueries.qPpr(spark, s"/root/testdata/$sf")
       df.coalesce(1).write.mode("overwrite").parquet(s"$out/q27_$sf.parquet")
       println(s"q27 golden $sf: ${spark.read.parquet(s"$out/q27_$sf.parquet").count()} rows")
