@@ -9,6 +9,48 @@ import graft.ingest.PageSynth
 
 class StreamIngestSpec extends SparkSpec {
 
+  test("crawl handoff: streamed + deduped pages feed batch index and retrieval") {
+    // The full ingest story end-to-end: pages arrive as files → streaming
+    // dedup tags keepers (checkpointed state) → the keeper set becomes a
+    // batch index → graph retrieval serves it. This is the continuous
+    // form of the reference's resumable index() over a crawl feed.
+    import spark.implicits._
+    val in = Files.createTempDirectory("handoff_in").toString
+    val keepers = Files.createTempDirectory("handoff_keep").toString
+    val ckpt = Files.createTempDirectory("handoff_ckpt").toString
+    val texts = Seq(
+      "Alice visited Paris. Paris hosts Louvre.",
+      "Bob founded Acme. Acme acquired Paris Office.",
+      "Alice visited Paris. Paris hosts Louvre.") // exact dup of page 0
+    texts.zipWithIndex.map { case (t, i) =>
+      PageSynth.page(i.toLong, 42L, 500, 64).copy(url = s"https://h/$i", text = t)
+    }.toDF().write.mode("append").parquet(in)
+
+    val stream = spark.readStream.schema(StreamIngest.pageSchema).parquet(in)
+    StreamIngest.streamingDedup(spark, stream)
+      .writeStream.format("parquet")
+      .option("path", keepers).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+
+    val tagged = spark.read.parquet(keepers)
+    assert(tagged.count() == 3 && tagged.where(col("isDup")).count() == 1)
+
+    // Batch side: index ONLY the keeper pages, then retrieve.
+    val docs = tagged.where(!col("isDup")).select(col("url"))
+      .join(spark.read.parquet(in), "url")
+      .select(col("text").as("content"))
+    val store = new graft.retrieve.GraphStore(spark,
+      Files.createTempDirectory("handoff_store").toString)
+    val stats = graft.retrieve.Indexer.index(store, docs)
+    assert(stats.totalChunks == 2, "the dup page must not re-index")
+    val got = graft.retrieve.Retriever.retrieve(store,
+      Seq(0L -> "where is the Louvre"),
+      graft.retrieve.Retriever.RetrieveConfig(retrievalTopK = 2)).collect()
+    assert(got.nonEmpty, "retrieval over the streamed-in corpus must serve")
+  }
+
   test("streaming ingest drains pages exactly-once across restarts") {
     val in = Files.createTempDirectory("pages_in").toString
     val sink = Files.createTempDirectory("triples_sink").toString
