@@ -71,6 +71,9 @@ object SparkEntry {
     "q27b_lpa" -> (Q.qLpa _),
     "q27c_ppr_fixed" -> (Q.qPprFixed _),
     "q33_pagerank_global" -> (Q.qPagerankGlobal _),
+    "q35_hits" -> (Q.qHits _),
+    "q36_host_graph" -> (Q.qHostGraph _),
+    "q37_bfs_hops" -> (Q.qBfsHops _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

@@ -24,13 +24,72 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  /** Per-partition union-find contraction: replaces each partition's edge
+    * subset with its local spanning star (root = partition-local min).
+    * Connectivity-preserving for ANY partitioning — each partition's star
+    * connects exactly the vertex sets its own edges connect, and the
+    * union over partitions therefore has the same transitive closure as
+    * the input. Output is ≤ one pair per distinct vertex per partition,
+    * so a pair set whose average local degree is d shrinks ~d× BEFORE
+    * the first shuffle — the star loop (5-6 full exchanges of the pair
+    * set per round) then runs on the contracted set. This is the narrow
+    * (zero-shuffle) half of the two-phase CC scheme; the star loop is
+    * the log-round global half.
+    *
+    * The local root is the partition-local min (same orderable types the
+    * star loop's least/greatest handle); orientation/canonicalization is
+    * NOT assumed downstream — run() re-applies least/greatest + distinct.
+    */
+  private[algo] def localContract(pairs: DataFrame): DataFrame = {
+    val schema = pairs.schema
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    def less(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Long, b: Long)     => a < b
+      case (a: Int, b: Int)       => a < b
+      case (a: String, b: String) => a < b
+      // Root choice is arbitrary for connectivity — any deterministic
+      // tie-break works for types without a natural order here.
+      case _ => x.hashCode < y.hashCode
+    }
+    pairs.mapPartitions { it =>
+      val parent = new java.util.HashMap[Any, Any]()
+      val seen = new java.util.LinkedHashSet[Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      it.foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        seen.add(a); seen.add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (less(rb, ra)) parent.put(ra, rb) else parent.put(rb, ra)
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      seen.forEach { v =>
+        val r = find(v)
+        if (r != v) out += org.apache.spark.sql.Row(r, v)
+      }
+      out.iterator
+    }
+  }
+
   /** @param arcs symmetrized (src, dst, weight) — weights ignored
     * @param vertices (vid) every vertex incl. isolated ones
+    * @param preContract run [[localContract]] before the star loop
+    *        (identical result — spec-pinned; off only for cross-checks)
     * @return (vid, component) with component = min vid reachable, and the
     *         number of star rounds (one round = large-star + small-star)
     */
   def run(arcs: DataFrame, vertices: DataFrame, checkpointEvery: Int = 5,
-          maxIter: Int = 200): (DataFrame, Int) = {
+          maxIter: Int = 200, preContract: Boolean = true): (DataFrame, Int) = {
     val spark = arcs.sparkSession
     // Re-root a persisted frame as a LogicalRDD leaf: each star round
     // references the previous edge set FOUR times (sym union ×2, then
@@ -42,8 +101,10 @@ object ConnectedComponents {
 
     // Unordered simple pairs (a < b) — the star edge set. `cur` is the
     // persisted handle (for unpersist); `edges` its leaf view.
-    var cur = arcs.select(col("src").as("u"), col("dst").as("v"))
+    val raw0 = arcs.select(col("src").as("u"), col("dst").as("v"))
       .where(col("u") =!= col("v"))
+    val raw = if (preContract) localContract(raw0) else raw0
+    var cur = raw
       .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -21,7 +21,14 @@ object LabelProp {
 
   def run(arcs: DataFrame, vertices: DataFrame, maxIter: Int = 20,
           checkpointEvery: Int = 5): (DataFrame, Int) = {
-    val edges = arcs.select("src", "dst", "weight").persist(StorageLevel.MEMORY_AND_DISK)
+    // A caller may hand an already-cached arc table whose plan equals the
+    // projection (entityArcs is exactly (src,dst,weight)) — re-persisting
+    // the identical plan only logs CacheManager warnings, and unpersisting
+    // at the end would evict the CALLER's cache. Persist only when this
+    // call owns the cache entry.
+    val proj = arcs.select("src", "dst", "weight")
+    val ownsCache = proj.storageLevel == StorageLevel.NONE
+    val edges = if (ownsCache) proj.persist(StorageLevel.MEMORY_AND_DISK) else proj
     var labels = vertices.select(col("vid"), col("vid").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
@@ -48,7 +55,7 @@ object LabelProp {
       labels = next
       iter += 1
     }
-    edges.unpersist(false)
+    if (ownsCache) edges.unpersist(false)
     (labels.select("vid", "label"), iter)
   }
 }

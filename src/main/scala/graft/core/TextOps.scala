@@ -68,6 +68,15 @@ object TextOps {
   /** `html: binary` (UTF-8) → extracted text: decode + [[stripTags]]. */
   def htmlText(html: Column): Column = stripTags(html.cast("string"))
 
+  /** URL → lowercased authority host, ≡ lower(regexp_extract(url,
+    * "://([^/:?#]*)", 1)) as one byte-scan codegen kernel
+    * ([[graftx.UrlHost]]) — the key extractor for host-level link-graph
+    * rollups over the pages input's `url` column. Property-tested
+    * against the regex built-in.
+    */
+  def urlHost(c: Column): Column =
+    graftx.column(graftx.UrlHost(graftx.expression(c)))
+
   /** Character n-gram set (sorted distinct) of a string — used for the
     * deterministic trigram-similarity embedding substitute (FIXTURES.md §2).
     */

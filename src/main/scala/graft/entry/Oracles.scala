@@ -547,6 +547,72 @@ dsh AS (
         |SELECT v AS entity_id, round(x, 9) AS score FROM pr WHERE i = 20
         |ORDER BY entity_id""".stripMargin),
 
+    // q35 — weighted HITS over the DIRECTED subj→obj entity graph, fixed
+    // 20 sweeps, L2-normalized after each half-step. One recursive
+    // reference (innermost a-gather); the a-norm / h-gather / h-norm are
+    // layered subqueries + windows over it. The 0-weight self-loops give
+    // every vertex a row per sweep AND smuggle the vertex's own
+    // normalized authority through the h-aggregation (the d2.src=d2.dst
+    // row), so the state (h, a) stays one row per vertex per sweep.
+    // round(,9) absorbs summation-order noise (q27c design).
+    "q35_hits" -> q(
+      """, dfe AS (
+        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM (
+        |    SELECT concat('entity-', md5(subj)) AS src,
+        |           concat('entity-', md5(obj)) AS dst
+        |    FROM triples WHERE subj <> obj)
+        |  GROUP BY src, dst),
+        |dav AS (SELECT src, dst, weight FROM dfe
+        |        UNION ALL
+        |        SELECT v, v, CAST(0 AS DOUBLE) FROM ents),
+        |hs(i, v, h, a) AS (
+        |  SELECT 0, e.v, CAST(1 AS DOUBLE), CAST(0 AS DOUBLE) FROM ents e
+        |  UNION ALL
+        |  SELECT s2.i + 1, s2.v,
+        |         s2.h1 / (CASE WHEN s2.nh = 0 THEN 1 ELSE s2.nh END),
+        |         s2.a_self
+        |  FROM (
+        |    SELECT t.i, t.v, t.h1, t.a_self,
+        |           sqrt(sum(t.h1 * t.h1) OVER (PARTITION BY t.i)) AS nh
+        |    FROM (
+        |      SELECT u.i AS i, d2.src AS v,
+        |             sum(d2.weight * u.a1n) AS h1,
+        |             max(CASE WHEN d2.src = d2.dst THEN u.a1n END) AS a_self
+        |      FROM (
+        |        SELECT g.i, g.v,
+        |               g.a1 / (CASE WHEN g.na = 0 THEN 1 ELSE g.na END) AS a1n
+        |        FROM (
+        |          SELECT w.i, w.v, w.a1,
+        |                 sqrt(sum(w.a1 * w.a1) OVER (PARTITION BY w.i)) AS na
+        |          FROM (
+        |            SELECT l.i AS i, d.dst AS v, sum(d.weight * l.h) AS a1
+        |            FROM hs l JOIN dav d ON d.src = l.v
+        |            WHERE l.i < 20
+        |            GROUP BY l.i, d.dst) w) g) u
+        |      JOIN dav d2 ON d2.dst = u.v
+        |      GROUP BY u.i, d2.src) t) s2)
+        |SELECT v AS entity_id, round(h, 9) AS hub, round(a, 9) AS authority
+        |FROM hs WHERE i = 20 ORDER BY entity_id""".stripMargin),
+
+    // q37 — multi-source BFS shortest hops from the 5 highest-df entity
+    // seeds. Exact integers; the UNION-dedup recursion terminates via
+    // the same 64-round bound the Spark job uses (web-graph diameters
+    // are far below it; unreachable stays NULL on both sides).
+    "q37_bfs_hops" -> q(
+      """, seeds AS (SELECT concat('entity-', md5(entity)) AS v FROM (
+        |    SELECT entity FROM (
+        |      SELECT entity, count(DISTINCT chunk_id) AS df
+        |      FROM chunk_ents GROUP BY entity)
+        |    ORDER BY df DESC, entity ASC LIMIT 5)),
+        |bfs(v, d) AS (
+        |  SELECT v, 0 FROM seeds
+        |  UNION
+        |  SELECT a.dst, b.d + 1 FROM bfs b JOIN symarcs a ON a.src = b.v
+        |  WHERE b.d < 64)
+        |SELECT e.v AS entity_id, CAST(min(b.d) AS BIGINT) AS hops
+        |FROM ents e LEFT JOIN bfs b ON b.v = e.v
+        |GROUP BY e.v ORDER BY entity_id""".stripMargin),
+
     // q27 — the tol-CONVERGED full-graph PPR, value-checked against a
     // COMMITTED GOLDEN parquet (round-3 verdict ask #4): a converged
     // fixpoint has no closed-form SQL, so the oracle reads the committed
@@ -596,6 +662,32 @@ dsh AS (
       |    '<p class="d">' || text || '</p><br/></body></html>',
       |    '<[^>]*>', '', 'g') AS extracted
       |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q36 — host-level link rollup: deterministic urls + deterministic
+    // doc→doc links (i→i+1, i→2i, i→⌊i/3⌋ where the target exists),
+    // hosts via the same '://([^/:?#]*)' extraction the byte-scan kernel
+    // implements, aggregated to the (src_host, dst_host) domain graph.
+    "q36_host_graph" -> """
+      |WITH d AS (
+      |  SELECT doc_id,
+      |         'https://h' || (doc_id % 97) || '.example.org/p/' || doc_id AS url
+      |  FROM documents),
+      |links AS (
+      |  SELECT src_id, dst_id FROM (
+      |    SELECT doc_id AS src_id, doc_id + 1 AS dst_id FROM d
+      |    UNION ALL
+      |    SELECT doc_id, doc_id * 2 FROM d
+      |    UNION ALL
+      |    SELECT doc_id, doc_id // 3 FROM d)
+      |  WHERE src_id <> dst_id)
+      |SELECT lower(regexp_extract(ds.url, '://([^/:?#]*)', 1)) AS src_host,
+      |       lower(regexp_extract(dd.url, '://([^/:?#]*)', 1)) AS dst_host,
+      |       count(*) AS links
+      |FROM links l
+      |JOIN d ds ON ds.doc_id = l.src_id
+      |JOIN d dd ON dd.doc_id = l.dst_id
+      |GROUP BY 1, 2
+      |ORDER BY src_host, dst_host""".stripMargin,
 
     "q28_json_extract" -> """
       |SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -267,6 +267,36 @@ object TextKernels {
     UTF8String.fromBytes(out, 0, o)
   }
 
+  /** lower(regexp_extract(url, "://([^/:?#]*)", 1)) — the authority host
+    * of a URL, ASCII-lowercased; empty when no scheme separator exists.
+    * One byte scan: ':' '/' '?' '#' are ASCII, so UTF-8 continuation
+    * bytes can never terminate the host early (multi-byte-safe, same
+    * argument as [[stripTags]]). Sits on the crawl-ingest hot path
+    * (host-level link-graph rollups over url columns).
+    */
+  def urlHost(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    val n = in.length
+    var at = -1
+    var i = 0
+    while (at < 0 && i + 2 < n) {
+      if (in(i) == ':' && in(i + 1) == '/' && in(i + 2) == '/') at = i + 3
+      i += 1
+    }
+    if (at < 0) return UTF8String.EMPTY_UTF8
+    var j = at
+    while (j < n && in(j) != '/' && in(j) != ':' && in(j) != '?' && in(j) != '#') j += 1
+    val out = new Array[Byte](j - at)
+    var k = at
+    var o = 0
+    while (k < j) {
+      val b = in(k)
+      out(o) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      o += 1; k += 1
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+
   /** regexp_replace(s, "[A-Z][A-Za-z0-9]*", " ") */
   def capRunsToSpace(s: UTF8String): UTF8String = {
     val in = s.getBytes
@@ -350,6 +380,15 @@ case class SequenceRatio(left: Expression, right: Expression)
       s"${ev.value} = org.apache.spark.sql.graftx.TextKernels.seqRatio($l, $r);")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+case class UrlHost(child: Expression) extends TextKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_url_host"
+  override def nullSafeEval(s: Any): Any = TextKernels.urlHost(s.asInstanceOf[UTF8String])
+  override protected def staticCall(c: String): String =
+    s"org.apache.spark.sql.graftx.TextKernels.urlHost($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 case class StripTags(child: Expression) extends TextKernelExpression {

@@ -1,0 +1,147 @@
+package graft.algo
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** HITS and multi-source BFS against independent dense driver-side
+  * oracles on deterministic random directed multigraphs, plus the CC
+  * local-contraction equivalence (preContract on/off must be identical).
+  */
+class LinkAlgoSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic directed graph: n vertices, m arcs with small-int
+    * weights, seeded LCG (no test-run randomness).
+    */
+  private def randomArcs(n: Int, m: Int, seed: Long): Seq[(Long, Long, Double)] = {
+    var s = seed
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s >>> 33 }
+    (0 until m).map { _ =>
+      val u = (next() % n).toLong
+      val v = (next() % n).toLong
+      val w = (next() % 3 + 1).toDouble
+      (u, v, w)
+    }.filter { case (u, v, _) => u != v }
+  }
+
+  /** Dense double-array HITS oracle, same fixed-sweep normalized update. */
+  private def denseHits(n: Int, arcs: Seq[(Long, Long, Double)], sweeps: Int)
+      : (Array[Double], Array[Double]) = {
+    // Aggregate parallel arcs the same way the frame job's groupBy-sum does.
+    val w = arcs.groupBy(a => (a._1, a._2)).map { case (k, as) => (k, as.map(_._3).sum) }
+    var h = Array.fill(n)(1.0)
+    var a = Array.fill(n)(0.0)
+    def l2(x: Array[Double]): Double = { val s = math.sqrt(x.map(v => v * v).sum); if (s == 0) 1.0 else s }
+    for (_ <- 1 to sweeps) {
+      val a1 = Array.fill(n)(0.0)
+      for (((u, v), ww) <- w) a1(v.toInt) += ww * h(u.toInt)
+      val na = l2(a1)
+      a = a1.map(_ / na)
+      val h1 = Array.fill(n)(0.0)
+      for (((u, v), ww) <- w) h1(u.toInt) += ww * a(v.toInt)
+      val nh = l2(h1)
+      h = h1.map(_ / nh)
+    }
+    (h, a)
+  }
+
+  /** Driver-side multi-source BFS oracle over the symmetric closure. */
+  private def denseHops(n: Int, arcs: Seq[(Long, Long, Double)], seeds: Seq[Long])
+      : Array[Long] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    for ((u, v, _) <- arcs) {
+      adj(u.toInt) ::= v.toInt
+      adj(v.toInt) ::= u.toInt
+    }
+    val dist = Array.fill(n)(-1L)
+    var frontier = seeds.map(_.toInt).distinct
+    frontier.foreach(dist(_) = 0L)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(adj).distinct.filter(dist(_) < 0)
+      frontier.foreach(dist(_) = d)
+    }
+    dist
+  }
+
+  for (seed <- Seq(7L, 23L)) {
+    test(s"HITS matches the dense fixed-sweep oracle [seed=$seed]") {
+      val n = 60
+      val arcs = randomArcs(n, 300, seed)
+      val (oh, oa) = denseHits(n, arcs, sweeps = 20)
+      val got = Hits.run(arcs.toDF("src", "dst", "weight"),
+          (0L until n.toLong).toDF("vid"), sweeps = 20)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      for (v <- 0 until n) {
+        assert(math.abs(got(v.toLong)._1 - oh(v)) < 1e-9, s"hub vid=$v")
+        assert(math.abs(got(v.toLong)._2 - oa(v)) < 1e-9, s"auth vid=$v")
+      }
+    }
+
+    test(s"BFS hops match the dense oracle, unreachable stays null [seed=$seed]") {
+      val n = 80
+      // Sparse: leaves some vertices unreachable from the seeds.
+      val arcs = randomArcs(n, 60, seed)
+      val seeds = Seq(0L, 1L, 2L)
+      val oracle = denseHops(n, arcs, seeds)
+      val sym = graft.graph.Adjacency.symmetrize(arcs.toDF("src", "dst", "weight"))
+      val got = Bfs.hops(sym, (0L until n.toLong).toDF("vid"), seeds.toDF("vid"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      for (v <- 0 until n)
+        assert(got(v.toLong) == oracle(v), s"hops vid=$v")
+      assert(oracle.contains(-1L), "fixture must include unreachable vertices")
+    }
+  }
+
+  test("HITS: hubs and authorities separate on a directed star") {
+    // u0 points at v1..v4; nothing points back. u0 is the only hub;
+    // v1..v4 are the only authorities.
+    val arcs = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0), (0L, 4L, 1.0))
+    val got = Hits.run(arcs.toDF("src", "dst", "weight"), (0L to 4L).toDF("vid"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got(0L)._1 - 1.0) < 1e-12 && got(0L)._2 == 0.0)
+    for (v <- 1L to 4L)
+      assert(got(v)._1 == 0.0 && math.abs(got(v)._2 - 0.5) < 1e-12)
+  }
+
+  test("CC local contraction: identical labels with preContract on/off") {
+    val arcs = graft.graph.Adjacency.symmetrize(
+      randomArcs(200, 150, 99L).toDF("src", "dst", "weight"))
+    val vertices = (0L until 200L).toDF("vid")
+    def labels(pre: Boolean) =
+      ConnectedComponents.run(arcs, vertices, preContract = pre)._1
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(true) == labels(false))
+  }
+
+  test("CC local contraction: pair set shrinks to <= one pair per vertex per partition") {
+    // A dense blob: 20 vertices, ~600 arcs in ONE partition must contract
+    // to <= 19 spanning-star pairs before the first shuffle.
+    val arcs = randomArcs(20, 600, 5L).map { case (u, v, _) => (u, v) }
+    val pairs = arcs.toDF("u", "v").repartition(1)
+    val contracted = ConnectedComponents.localContract(pairs)
+    assert(contracted.count() <= 19L)
+    // And connectivity is preserved: same components either way.
+    val full = arcs.toDF("src", "dst").withColumn("weight", lit(1.0))
+    val vertices = (0L until 20L).toDF("vid")
+    val viaContract = ConnectedComponents.run(
+      graft.graph.Adjacency.symmetrize(full), vertices)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaMinLabel = ConnectedComponents.runMinLabel(
+      graft.graph.Adjacency.symmetrize(full), vertices)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaContract == viaMinLabel)
+  }
+
+  test("CC local contraction handles string vertex ids") {
+    val pairs = Seq(("entity-b", "entity-a"), ("entity-b", "entity-c"),
+      ("entity-x", "entity-y")).toDF("u", "v").repartition(1)
+    val got = ConnectedComponents.localContract(pairs)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("entity-a", "entity-b"), ("entity-a", "entity-c"),
+      ("entity-x", "entity-y")))
+  }
+}
