@@ -139,6 +139,25 @@ object Bench {
     spark.read.parquet(s"$dir/arcs").count()
   }
 
+  /** Persist a SPARSE long-vid pair table for the CC scaling phase. The
+    * dense 65k-vertex Zipf graph no longer measures the star loop: the
+    * round-4 per-partition local contraction solves it in the narrow
+    * pre-pass (1 star round, wall ≈ scheduling floor — see BENCH.md), so
+    * CC scaling is exercised where multi-round contraction actually
+    * happens: many vertices, low average degree (the supernode-merge
+    * regime of a host-level web graph rather than the entity core).
+    */
+  private def writeScalingCcArcs(spark: SparkSession, nV: Long, nSamples: Long,
+                                 dir: String): Long = {
+    spark.range(0L, nSamples, 1L, 192)
+      .select(pmod(xxhash64(col("id"), lit(11)), lit(nV)).as("src"),
+              pmod(xxhash64(col("id"), lit(12)), lit(nV)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .withColumn("weight", lit(1.0))
+      .write.mode("overwrite").parquet(s"$dir/ccarcs")
+    spark.read.parquet(s"$dir/ccarcs").count()
+  }
+
   case class LevelResult(
       buildWall: Double, ccWall: Double, graphWall: Double,
       pprWall: Double, pprWalls: Seq[Double],
@@ -197,17 +216,23 @@ object Bench {
     val graphWall = (System.nanoTime() - tg0) / 1e9
     lap(s"scaling graph: ${nV} v, ${csr.nEdges} arcs", tg0)
 
-    // ---- phase C: star-contraction connected components over the BIG
-    // Zipf edge table (the north rule names CC next to PageRank — its
-    // scaling is measured here, not assumed; the pages graph is too small
-    // to measure anything but scheduling latency). The distinct-component
-    // count forces the labels.
+    // ---- phase C: star-contraction connected components over the SPARSE
+    // many-vertex pair table (the north rule names CC next to PageRank —
+    // its scaling is measured here, not assumed). The dense Zipf graph is
+    // no longer a CC workload: local contraction solves it in the narrow
+    // pre-pass (1 star round — measured, see BENCH.md), which is the
+    // desired 100-TB behavior, not a benchmarkable one. The
+    // distinct-component count forces the labels.
     val tcc0 = System.nanoTime()
-    val (ccLabels, ccRounds) = graft.algo.ConnectedComponents.run(
-      arcs, dict.select("vid"))
+    val ccRaw = spark.read.parquet(s"$dir/ccarcs")
+    val ccVerts = spark.range(
+      sys.env.getOrElse("GRAFT_BENCH_CC_NV", "2097152").toLong)
+      .select(col("id").as("vid"))
+    val (ccLabels, ccRounds) = graft.algo.ConnectedComponents.run(ccRaw, ccVerts)
     val nComp = ccLabels.select("component").distinct().count()
     val ccWall = (System.nanoTime() - tcc0) / 1e9
-    lap(s"star CC (scaling graph): $nComp components in $ccRounds rounds", tcc0)
+    lap(s"star CC (sparse ${sys.env.getOrElse("GRAFT_BENCH_CC_NV", "2097152")}-vertex graph): " +
+      s"$nComp components in $ccRounds rounds", tcc0)
     arcs.unpersist(false)
     sym.unpersist(false)
     (buildWall, ccWall, graphWall, csr, nV)
@@ -259,7 +284,8 @@ object Bench {
       "q05_triples", "q06_fact_edges", "q14_dedup_exact", "q15_minhash_lsh",
       "q16_simhash", "q17_ngram_jaccard", "q18_cosine_topk", "q20_lang_id",
       "q24_connected_components", "q25_triangles", "q27_ppr",
-      "q27c_ppr_fixed", "q31_embed_dedup", "q32_ann_ivf", "q33_pagerank_global")
+      "q27c_ppr_fixed", "q31_embed_dedup", "q32_ann_ivf", "q33_pagerank_global",
+      "q35_hits", "q36_host_graph", "q37_bfs_hops")
     val spark1 = session(cpus, cpus)
     val qTimes: Seq[(String, Double)] =
       if (skipHeadline) Seq.empty
@@ -287,7 +313,11 @@ object Bench {
     val scaleDir = Files.createTempDirectory("graft_scale").toString
     writeScalingPages(spark1, scalePages, scaleEntities, scaleDir)
     val nArcsRaw = writeScalingArcs(spark1, scaleNv, scaleSamples, scaleDir)
-    System.err.println(s"[bench] scaling arc table: $nArcsRaw directed arcs")
+    val ccNv = sys.env.getOrElse("GRAFT_BENCH_CC_NV", "2097152").toLong
+    val ccSamples = sys.env.getOrElse("GRAFT_BENCH_CC_SAMPLES", "8000000").toLong
+    val nCcArcs = writeScalingCcArcs(spark1, ccNv, ccSamples, scaleDir)
+    System.err.println(s"[bench] scaling arc table: $nArcsRaw directed arcs; " +
+      s"CC table: $nCcArcs pairs over $ccNv vertices")
     spark1.stop()
 
     // INTERLEAVED block schedule (round-2 ask #7): the 8-thread side of
@@ -450,7 +480,11 @@ object Bench {
       s"Fixed inputs, persisted once, identical files at both levels:\n" +
       s"- pages: $scalePages Common-Crawl-shaped rows ($scaleEntities-word Zipf vocabulary)\n" +
       s"- edge table: ${r8.nE} directed arcs over ${r8.nV} vertices (Zipf-skewed,\n" +
-      s"  string-keyed; built from $scaleSamples hash-sampled pairs)\n\n" +
+      s"  string-keyed; built from $scaleSamples hash-sampled pairs)\n" +
+      s"- CC table: $nCcArcs sparse pairs over $ccNv vertices (the multi-round\n" +
+      s"  star-contraction regime; the dense Zipf graph converges in ONE star\n" +
+      s"  round after the round-4 per-partition local contraction and measures\n" +
+      s"  only scheduling floor)\n\n" +
       s"Per level: (a) BUILD = pages -> extraction -> fact edges -> dictionary ->\n" +
       s"encoded arcs -> CSR; (b) GRAPH = dictionary+encode+CSR over the edge\n" +
       s"table; (c) PPR = $scaleQueries per-query PPRs to 1e-6 L1, query-sharded\n" +
@@ -484,12 +518,18 @@ object Bench {
       s"| stream triad 8 threads | DRAM roof | ${"%.1f".format(stream8)} GB/s |\n" +
       s"| stream triad 32 threads | DRAM roof | ${"%.1f".format(stream32)} GB/s |\n" +
       s"| noop hash-shuffle of ${shuffleN / 1000000}M longs | shuffle-bound phase scaling (CC, encode) | ${"%.3f".format(shuffleEff)} (${"%.1f".format(sw8)}s @8 -> ${"%.1f".format(sw32)}s @32) |\n\n" +
-      s"Star CC on the scaling graph: ${"%.3f".format(effCc)} raw = " +
-      s"${"%.3f".format(effCc / shuffleEff)} of the shuffle ceiling — the phase\n" +
-      s"is shuffle-bound (5-6 full exchanges of the pair set per round), and a\n" +
-      s"single-box proxy shuffles through ONE disk and memory bus at every\n" +
-      s"core count. PPR, the throughput metric the north rule names, is\n" +
-      s"compute-bound and scales against the FMA ceiling instead.\n\n" +
+      s"Star CC on the sparse $ccNv-vertex table: ${"%.3f".format(effCc)} raw = " +
+      s"${"%.3f".format(effCc / shuffleEff)} of the shuffle ceiling — the star\n" +
+      s"loop is shuffle-bound (5-6 full exchanges of the pair set per round),\n" +
+      s"and a single-box proxy shuffles through ONE disk and memory bus at\n" +
+      s"every core count. On the DENSE Zipf graph the per-partition local\n" +
+      s"contraction (round 4) removes the shuffle entirely: the 12.8M-arc\n" +
+      s"65k-vertex graph contracts in the narrow pre-pass and the star loop\n" +
+      s"converges in ONE round — at 100 TB that is the point (avg-degree×\n" +
+      s"less data shuffled); at proxy size it drops the phase below the\n" +
+      s"scheduling floor, hence the separate sparse input. PPR, the\n" +
+      s"throughput metric the north rule names, is compute-bound and scales\n" +
+      s"against the FMA ceiling instead.\n\n" +
       s"(A third wall was measured and designed out this round: java.util.regex\n" +
       s"matching thread-scales at ~0.30 on this VM even allocation-free with\n" +
       s"per-thread Patterns — the extraction stage now runs on hand-rolled\n" +

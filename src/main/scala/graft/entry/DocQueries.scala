@@ -495,6 +495,21 @@ object DocQueries {
       .orderBy("entity_id")
   }
 
+  /** Strongly connected components of the DIRECTED subj→obj entity graph
+    * — the bow-tie decomposition primitive for web link graphs (q35's
+    * directed input, q24's undirected-CC counterpart). scc = min member
+    * id (canonical); oracle = the mutual-reachability closure as a
+    * recursive CTE.
+    */
+  def qScc(s: SparkSession, dir: String): DataFrame = {
+    val dArcs = triples(s, dir).where(col("subj") =!= col("obj"))
+      .select(Ids.mdhash(Ids.EntityNs, col("subj")).as("src"),
+        Ids.mdhash(Ids.EntityNs, col("obj")).as("dst"))
+    graft.algo.Scc.run(dArcs, entityVertices(s, dir))
+      .select(col("vid").as("entity_id"), col("scc"))
+      .orderBy("entity_id")
+  }
+
   /** Host-level link-graph rollup — the Common-Crawl page→domain
     * aggregation over the pages input's `url` column: deterministic urls
     * per doc, deterministic doc→doc links (i→i+1, i→2i, i→⌊i/3⌋ where

@@ -613,6 +613,23 @@ dsh AS (
         |FROM ents e LEFT JOIN bfs b ON b.v = e.v
         |GROUP BY e.v ORDER BY entity_id""".stripMargin),
 
+    // q38 — strongly connected components of the directed subj→obj
+    // entity graph: scc(v) = min u with v→*u AND u→*v, via one
+    // reachability closure self-joined for mutuality (every vertex
+    // carries its reflexive (v,v) row, so singletons keep themselves).
+    "q38_scc" -> q(
+      """, dfe2 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj),
+        |r(s, v) AS (
+        |  SELECT v, v FROM ents
+        |  UNION
+        |  SELECT rr.s, a.dst FROM r rr JOIN dfe2 a ON a.src = rr.v)
+        |SELECT a.s AS entity_id, min(a.v) AS scc
+        |FROM r a JOIN r b ON b.s = a.v AND b.v = a.s
+        |GROUP BY a.s ORDER BY entity_id""".stripMargin),
+
     // q27 — the tol-CONVERGED full-graph PPR, value-checked against a
     // COMMITTED GOLDEN parquet (round-3 verdict ask #4): a converged
     // fixpoint has no closed-form SQL, so the oracle reads the committed

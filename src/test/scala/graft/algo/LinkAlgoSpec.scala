@@ -107,6 +107,64 @@ class LinkAlgoSpec extends SparkSpec {
       assert(got(v)._1 == 0.0 && math.abs(got(v)._2 - 0.5) < 1e-12)
   }
 
+  /** Brute-force mutual-reachability SCC oracle (BFS per vertex) — the
+    * same semantics as the q38 recursive-CTE oracle, obviously correct.
+    */
+  private def bruteScc(n: Int, arcs: Seq[(Long, Long)]): Array[Long] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    for ((u, v) <- arcs if u != v) adj(u.toInt) ::= v.toInt
+    def reach(s: Int): Array[Boolean] = {
+      val seen = Array.fill(n)(false)
+      seen(s) = true
+      var frontier = List(s)
+      while (frontier.nonEmpty)
+        frontier = frontier.flatMap(adj).filterNot(seen).distinct
+          .map { w => seen(w) = true; w }
+      seen
+    }
+    val r = (0 until n).map(reach)
+    Array.tabulate(n)(v =>
+      (0 until n).filter(u => r(v)(u) && r(u)(v)).min.toLong)
+  }
+
+  for (seed <- Seq(3L, 41L)) {
+    test(s"SCC matches mutual-reachability oracle on a random directed graph [seed=$seed]") {
+      val n = 80
+      val arcs = randomArcs(n, 160, seed).map { case (u, v, _) => (u, v) }
+      val oracle = bruteScc(n, arcs)
+      val got = Scc.run(arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (v <- 0 until n)
+        assert(got(v.toLong) == oracle(v), s"scc vid=$v")
+    }
+  }
+
+  test("SCC: cycles collapse, bridges don't, chains stay singletons") {
+    // 0→1→2→0 (cycle A), 3→4→5→3 (cycle B), bridge 2→3 (one-way),
+    // chain 6→7→8, isolated 9.
+    val arcs = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L),
+      (2L, 3L), (6L, 7L), (7L, 8L)).toDF("src", "dst")
+    val got = Scc.run(arcs, (0L to 9L).toDF("vid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 6L -> 6L, 7L -> 7L, 8L -> 8L, 9L -> 9L))
+  }
+
+  test("SCC: descending chain (adversarial coloring case) still converges") {
+    val n = 12 // one color class per outer round — exercises maxOuter path
+    val arcs = (1 until n).map(i => (i.toLong, (i - 1).toLong)).toDF("src", "dst")
+    val got = Scc.run(arcs, (0L until n.toLong).toDF("vid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until n.toLong).map(v => v -> v).toMap)
+  }
+
+  test("SCC handles string vertex ids") {
+    val arcs = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
+    val got = Scc.run(arcs, Seq("a", "b", "c").toDF("vid"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c"))
+  }
+
   test("CC local contraction: identical labels with preContract on/off") {
     val arcs = graft.graph.Adjacency.symmetrize(
       randomArcs(200, 150, 99L).toDF("src", "dst", "weight"))

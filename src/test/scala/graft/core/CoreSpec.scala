@@ -112,6 +112,25 @@ class CoreSpec extends SparkSpec {
     assert(bad.isEmpty, s"stripTags diverges, e.g. ${bad.take(3).mkString("; ")}")
   }
 
+  test("urlHost kernel == lower(regexp_extract '://([^/:?#]*)') (property)") {
+    // adversarial: no scheme, empty host, ports, userinfo-less forms,
+    // query/fragment cut points, uppercase, unicode, multiple '://'
+    val alphabet = ":/?#.abAB中é9-"
+    val rnd = new scala.util.Random(17)
+    val strs = Seq(
+      "", "x", "://", "a://", "https://", "https://Example.COM/p/1",
+      "http://h0.example.org:8080/x?y#z", "ftp://A.B.C?q", "s://H#f",
+      "no-scheme/path", "https://中文.example/p", "a://b://c",
+      "https://h12.example.org/p/34") ++
+      (0 until 700).map(_ => (0 until rnd.nextInt(30))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val bad = strs.toDF("s")
+      .select(col("s"), TextOps.urlHost(col("s")).as("m"),
+        lower(regexp_extract(col("s"), "://([^/:?#]*)", 1)).as("r"))
+      .where(not(col("m") <=> col("r"))).collect()
+    assert(bad.isEmpty, s"urlHost diverges, e.g. ${bad.take(3).mkString("; ")}")
+  }
+
   test("htmlText recovers the byte-identical text column from PageSynth html") {
     // The input_hint invariant end-to-end through the html path: decode
     // the binary html column, strip tags, get back `text` exactly.
