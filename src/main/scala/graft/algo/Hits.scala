@@ -21,10 +21,12 @@ import org.apache.spark.storage.StorageLevel
   *   h₁(u)  = Σ_{(u,v)∈arcs} w(u,v) · aₙ(v);   hₙ = h₁ / ‖h₁‖₂
   *
   * Scale shape: each half-step is one shuffle join on the arc table plus
-  * a map-side-combinable groupBy — nothing driver-side beyond the two
-  * one-row norm aggregates, state is O(V), lineage truncated every
-  * `checkpointEvery` sweeps. Zipf hubs cost partial aggregation, not a
-  * hot reducer.
+  * a map-side-combinable groupBy; the norm is a broadcast one-row
+  * crossJoin, NOT a driver action — the whole run executes as one Spark
+  * job per `checkpointEvery` sweeps (2·sweeps driver round-trips made a
+  * tiny-graph run take 24 s of pure scheduling; same action-count
+  * discipline as the PPR kernels). State is O(V); Zipf hubs cost partial
+  * aggregation, not a hot reducer.
   */
 object Hits {
 
@@ -35,10 +37,12 @@ object Hits {
   def run(arcs: DataFrame, vertices: DataFrame, sweeps: Int = 20,
           checkpointEvery: Int = 5): DataFrame = {
     val spark = arcs.sparkSession
-    // Same lineage discipline as Ppr/CC: re-root persisted state as a
-    // LogicalRDD leaf so per-sweep plans don't nest.
+    // LAZY re-root: normalized() references its input twice (norm branch
+    // + value branch) — without collapsing each half-step to a LogicalRDD
+    // leaf the logical plan would grow 4^sweeps. The leaf's RDD lineage
+    // is a DAG (shared node), its shuffle dependencies materialize once,
+    // and no action runs here.
     def reRoot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
-
     val a0 = arcs.select(col("src"), col("dst"), col("weight").cast("double").as("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val verts = vertices.select("vid").persist(StorageLevel.MEMORY_AND_DISK)
@@ -55,39 +59,38 @@ object Hits {
         .select(col("vid"), coalesce(col(out), lit(0.0)).as(out))
     }
 
-    // The norm aggregate is the half-step's one action (it materializes
-    // the persisted frame it runs on); the division is then a literal —
-    // no crossJoin broadcast plan, and the L2 norm is exact over the
-    // zero-filled full vertex set.
-    def norm(scores: DataFrame, c: String): Double = {
-      val n = scores.agg(sqrt(sum(col(c) * col(c)))).first().getDouble(0)
-      if (n == 0.0) 1.0 else n // all-zero side: keep zeros, don't NaN
+    // LAZY L2 normalization: the norm is a one-row aggregate broadcast
+    // back via crossJoin, so no per-half-step driver action exists. The
+    // all-zero guard keeps zeros instead of NaN (empty arc side).
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val n = scores.agg(sqrt(sum(col(c) * col(c))).as("_n"))
+      scores.crossJoin(broadcast(n))
+        .select(col("vid"),
+          (col(c) / when(col("_n") === 0.0, lit(1.0)).otherwise(col("_n"))).as(c))
     }
 
     var hub = verts.select(col("vid"), lit(1.0).as("h")).localCheckpoint(true)
-    var prevA: Option[DataFrame] = None // previous sweep's persisted a-state
-    var prevH: Option[DataFrame] = None
     var auth: DataFrame = null
+    var authPinned = false
     var it = 0
     while (it < sweeps) {
-      val aFull = gather(hub, "src", "a").persist(StorageLevel.MEMORY_AND_DISK)
-      val aN = aFull.select(col("vid"), (col("a") / lit(norm(aFull, "a"))).as("a"))
-      val hFull = gather(aN, "dst", "h").persist(StorageLevel.MEMORY_AND_DISK)
-      val hN = hFull.select(col("vid"), (col("h") / lit(norm(hFull, "h"))).as("h"))
-      // Both states of this sweep are materialized (norm actions above) —
-      // the previous sweep's caches are now unreachable.
-      prevA.foreach(_.unpersist(false)); prevH.foreach(_.unpersist(false))
-      hub = if ((it + 1) % checkpointEvery == 0 || it + 1 == sweeps)
-        hN.localCheckpoint(true) // truncate the cross-sweep RDD lineage
-      else reRoot(hN)
-      auth = aN
-      prevA = Some(aFull); prevH = Some(hFull)
+      val aN = reRoot(normalized(reRoot(gather(hub, "src", "a")), "a"))
+      val hN = normalized(reRoot(gather(aN, "dst", "h")), "h")
+      // Evaluation happens only at checkpoints: each checkpoint runs the
+      // (up to `checkpointEvery`) sweeps since the previous one as ONE
+      // job — the inter-sweep DAG is a linear join chain, no fan-out, so
+      // nothing recomputes exponentially. auth is pinned WITH its hub
+      // (same underlying sweep) only at the end.
+      if ((it + 1) % checkpointEvery == 0 || it + 1 == sweeps) {
+        hub = hN.localCheckpoint(true)
+        if (it + 1 == sweeps) { auth = aN.localCheckpoint(true); authPinned = true }
+      } else hub = hN
+      if (!authPinned) auth = aN
       it += 1
     }
     val out = hub.join(auth, "vid")
       .select(col("vid"), col("h").as("hub"), col("a").as("authority"))
       .localCheckpoint(true)
-    prevA.foreach(_.unpersist(false)); prevH.foreach(_.unpersist(false))
     a0.unpersist(false); verts.unpersist(false)
     out
   }
