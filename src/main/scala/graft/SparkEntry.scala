@@ -75,6 +75,7 @@ object SparkEntry {
     "q36_host_graph" -> (Q.qHostGraph _),
     "q37_bfs_hops" -> (Q.qBfsHops _),
     "q38_scc" -> (Q.qScc _),
+    "q39_bowtie" -> (Q.qBowtie _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

@@ -510,6 +510,41 @@ object DocQueries {
       .orderBy("entity_id")
   }
 
+  /** Bow-tie decomposition (Broder et al., "Graph structure in the Web",
+    * WWW'00) of the directed entity graph: each vertex is classified
+    * against the LARGEST strongly connected component — `core` (member),
+    * `in` (reaches the core), `out` (reachable from the core), `other`
+    * (tendrils/disconnected). Composed from [[graft.algo.Scc]] and two
+    * directed [[graft.algo.Bfs]] sweeps (forward + reversed arcs);
+    * in∩out outside the core is impossible (it would be in the SCC), and
+    * the oracle's CASE precedence is mirrored anyway.
+    */
+  def qBowtie(s: SparkSession, dir: String): DataFrame = {
+    val dArcs = triples(s, dir).where(col("subj") =!= col("obj"))
+      .select(Ids.mdhash(Ids.EntityNs, col("subj")).as("src"),
+        Ids.mdhash(Ids.EntityNs, col("obj")).as("dst")).distinct()
+    val verts = entityVertices(s, dir)
+    val scc = graft.algo.Scc.run(dArcs, verts)
+    val giant = scc.groupBy("scc").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("scc").asc).limit(1).select("scc")
+    val core = scc.join(giant, "scc").select("vid")
+    val fromCore = graft.algo.Bfs.hops(dArcs, verts, core)
+      .where(col("hops").isNotNull).select("vid")
+    val toCore = graft.algo.Bfs.hops(
+      dArcs.select(col("dst").as("src"), col("src").as("dst")), verts, core)
+      .where(col("hops").isNotNull).select("vid")
+    verts
+      .join(core.withColumn("is_core", lit(true)), Seq("vid"), "left")
+      .join(toCore.withColumn("is_in", lit(true)), Seq("vid"), "left")
+      .join(fromCore.withColumn("is_out", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as("entity_id"),
+        when(col("is_core"), "core")
+          .when(col("is_in"), "in")
+          .when(col("is_out"), "out")
+          .otherwise("other").as("part"))
+      .orderBy("entity_id")
+  }
+
   /** Host-level link-graph rollup — the Common-Crawl page→domain
     * aggregation over the pages input's `url` column: deterministic urls
     * per doc, deterministic doc→doc links (i→i+1, i→2i, i→⌊i/3⌋ where

@@ -630,6 +630,37 @@ dsh AS (
         |FROM r a JOIN r b ON b.s = a.v AND b.v = a.s
         |GROUP BY a.s ORDER BY entity_id""".stripMargin),
 
+    // q39 — bow-tie decomposition against the LARGEST SCC (count desc,
+    // id asc tie-break): core / in (reaches core) / out (reachable from
+    // core) / other. Reuses q38's reachability closure; the reflexive
+    // (v,v) rows make core ⊆ in ∩ out, so the CASE precedence decides.
+    "q39_bowtie" -> q(
+      """, dfe2 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj),
+        |r(s, v) AS (
+        |  SELECT v, v FROM ents
+        |  UNION
+        |  SELECT rr.s, a.dst FROM r rr JOIN dfe2 a ON a.src = rr.v),
+        |sccs AS (
+        |  SELECT a.s AS v, min(a.v) AS scc
+        |  FROM r a JOIN r b ON b.s = a.v AND b.v = a.s
+        |  GROUP BY a.s),
+        |giant AS (
+        |  SELECT scc FROM (
+        |    SELECT scc, count(*) AS c FROM sccs GROUP BY scc
+        |    ORDER BY c DESC, scc ASC LIMIT 1)),
+        |core AS (SELECT v FROM sccs WHERE scc = (SELECT scc FROM giant)),
+        |fwd AS (SELECT DISTINCT r.v FROM r JOIN core c ON r.s = c.v),
+        |bwd AS (SELECT DISTINCT r.s AS v FROM r JOIN core c ON r.v = c.v)
+        |SELECT e.v AS entity_id,
+        |       CASE WHEN e.v IN (SELECT v FROM core) THEN 'core'
+        |            WHEN e.v IN (SELECT v FROM bwd) THEN 'in'
+        |            WHEN e.v IN (SELECT v FROM fwd) THEN 'out'
+        |            ELSE 'other' END AS part
+        |FROM ents e ORDER BY entity_id""".stripMargin),
+
     // q27 — the tol-CONVERGED full-graph PPR, value-checked against a
     // COMMITTED GOLDEN parquet (round-3 verdict ask #4): a converged
     // fixpoint has no closed-form SQL, so the oracle reads the committed

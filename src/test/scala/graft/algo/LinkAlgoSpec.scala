@@ -165,6 +165,33 @@ class LinkAlgoSpec extends SparkSpec {
     assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c"))
   }
 
+  test("bow-tie classification: core/in/out/other on a handcrafted web") {
+    // core cycle 2↔3↔4 (2→3→4→2), in: 0→2, 1→0 (chain into core),
+    // out: 4→5, 5→6; other: 7→8 (tendril pair off nothing), isolated 9.
+    val arcs = Seq((2L, 3L), (3L, 4L), (4L, 2L), (0L, 2L), (1L, 0L),
+      (4L, 5L), (5L, 6L), (7L, 8L)).toDF("src", "dst")
+    val verts = (0L to 9L).toDF("vid")
+    val scc = Scc.run(arcs, verts)
+    val giant = scc.groupBy("scc").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("scc").asc).limit(1).select("scc")
+    val core = scc.join(giant, "scc").select("vid")
+    val fromCore = Bfs.hops(arcs, verts, core)
+      .where(col("hops").isNotNull).select("vid")
+    val toCore = Bfs.hops(arcs.select(col("dst").as("src"), col("src").as("dst")),
+        verts, core).where(col("hops").isNotNull).select("vid")
+    val part = verts
+      .join(core.withColumn("is_core", lit(true)), Seq("vid"), "left")
+      .join(toCore.withColumn("is_in", lit(true)), Seq("vid"), "left")
+      .join(fromCore.withColumn("is_out", lit(true)), Seq("vid"), "left")
+      .select(col("vid"),
+        when(col("is_core"), "core").when(col("is_in"), "in")
+          .when(col("is_out"), "out").otherwise("other").as("part"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(part == Map(0L -> "in", 1L -> "in", 2L -> "core", 3L -> "core",
+      4L -> "core", 5L -> "out", 6L -> "out", 7L -> "other", 8L -> "other",
+      9L -> "other"))
+  }
+
   test("CC local contraction: identical labels with preContract on/off") {
     val arcs = graft.graph.Adjacency.symmetrize(
       randomArcs(200, 150, 99L).toDF("src", "dst", "weight"))
