@@ -76,6 +76,9 @@ object SparkEntry {
     "q37_bfs_hops" -> (Q.qBfsHops _),
     "q38_scc" -> (Q.qScc _),
     "q39_bowtie" -> (Q.qBowtie _),
+    "q40_neighborhood" -> (Q.qNeighborhood _),
+    "q41_kcore" -> (Q.qKCore _),
+    "q42_harmonic" -> (Q.qHarmonic _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

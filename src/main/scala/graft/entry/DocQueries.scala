@@ -545,6 +545,49 @@ object DocQueries {
       .orderBy("entity_id")
   }
 
+  /** Exact neighborhood function (distance distribution) of the directed
+    * entity graph — #ordered pairs at each shortest-hop distance (Broder
+    * et al. WWW'00's N(t), the statistic behind "effective diameter").
+    * All-roots BFS ([[graft.algo.Neighborhood.exactDistribution]]); the
+    * sketch-based scale path ([[graft.algo.Neighborhood.hyperball]],
+    * native Datasketches HLL aggregates) is spec-anchored against this
+    * exact form and bench-measured on the big Zipf graph.
+    */
+  def qNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.algo.Neighborhood.exactDistribution(directedEntityArcs(s, dir), entityVertices(s, dir))
+      .select(col("hops"), col("pairs"))
+      .orderBy("hops")
+
+  /** Directed subject→object entity arcs (the graph q37/q38/q39/q40/q42
+    * analyze; the undirected [[entityArcs]] adds the reference's
+    * symmetrization for PPR/CC).
+    */
+  private def directedEntityArcs(s: SparkSession, dir: String): DataFrame =
+    triples(s, dir).where(col("subj") =!= col("obj"))
+      .select(Ids.mdhash(Ids.EntityNs, col("subj")).as("src"),
+        Ids.mdhash(Ids.EntityNs, col("obj")).as("dst")).distinct()
+
+  /** Exact inbound harmonic centrality H(v) = Σ 1/d(u,v) over the
+    * directed entity graph ([[graft.algo.Neighborhood.harmonicExact]]) —
+    * the Boldi-Vigna web-centrality; the sketch path is [[graft.algo
+    * .Neighborhood.hyperball]]'s `harm` column (spec-anchored against
+    * this exact form, no SQL shape for sketches).
+    */
+  def qHarmonic(s: SparkSession, dir: String): DataFrame =
+    graft.algo.Neighborhood.harmonicExact(directedEntityArcs(s, dir), entityVertices(s, dir))
+      .select(col("vid").as("entity_id"), col("harmonic"))
+      .orderBy("entity_id")
+
+  /** k-core decomposition (coreness per entity) of the undirected entity
+    * graph — distributed h-index iteration to fixpoint
+    * ([[graft.algo.KCore]]); the oracle unrolls the same closed-form
+    * rounds as chained SQL CTEs (q27c/q33/q35 design).
+    */
+  def qKCore(s: SparkSession, dir: String): DataFrame =
+    graft.algo.KCore.run(entityArcs(s, dir), entityVertices(s, dir))
+      .select(col("vid").as("entity_id"), col("coreness"))
+      .orderBy("entity_id")
+
   /** Host-level link-graph rollup — the Common-Crawl page→domain
     * aggregation over the pages input's `url` column: deterministic urls
     * per doc, deterministic doc→doc links (i→i+1, i→2i, i→⌊i/3⌋ where

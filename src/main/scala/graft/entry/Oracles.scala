@@ -78,6 +78,41 @@ dsh AS (
 
   private def q(body: String): String = prelude + body
 
+  /** q41's oracle body: the h-index k-core iteration unrolled `rounds`
+    * times — init c₀ = degree over the deduplicated undirected arc set,
+    * then cᵢ(v) = H({cᵢ₋₁(u) : u ∈ N(v)}) with H = max(least(rank,
+    * value)) over the descending neighbor values, isolated vertices 0.
+    *
+    * Every round CTE is `AS MATERIALIZED`: each kc_i is referenced once,
+    * so DuckDB would otherwise INLINE the whole 24-deep chain into one
+    * nested plan whose optimization blows up super-linearly (>10 min on a
+    * 31-vertex graph, measured; 4 s materialized).
+    */
+  private def kcoreUnrolled(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """, ua AS MATERIALIZED (SELECT DISTINCT src, dst FROM symarcs WHERE src <> dst),
+        |kc0 AS MATERIALIZED (
+        |  SELECT e.v, coalesce(d.c, 0) AS c FROM ents e LEFT JOIN (
+        |    SELECT src AS v, count(*) AS c FROM ua GROUP BY src) d ON d.v = e.v)""".stripMargin)
+    for (i <- 1 to rounds) {
+      sb.append(
+        s""",
+           |kc$i AS MATERIALIZED (
+           |  SELECT e.v, coalesce(h.h, 0) AS c FROM ents e LEFT JOIN (
+           |    SELECT nb.v, max(least(nb.rn, nb.nc)) AS h FROM (
+           |      SELECT a.src AS v, c.c AS nc,
+           |             row_number() OVER (PARTITION BY a.src ORDER BY c.c DESC) AS rn
+           |      FROM ua a JOIN kc${i - 1} c ON c.v = a.dst) nb
+           |    GROUP BY nb.v) h ON h.v = e.v)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT v AS entity_id, CAST(c AS BIGINT) AS coreness
+         |FROM kc$rounds ORDER BY entity_id""".stripMargin)
+    sb.toString
+  }
+
   /** q19's LSH planes inlined as SQL literals so DuckDB recomputes the
     * same sign buckets: the planes are deterministic hash-seeded unit
     * float vectors ([[graft.extract.Embeddings.hashUnit]]); Double
@@ -660,6 +695,53 @@ dsh AS (
         |            WHEN e.v IN (SELECT v FROM fwd) THEN 'out'
         |            ELSE 'other' END AS part
         |FROM ents e ORDER BY entity_id""".stripMargin),
+
+    // q40 — exact neighborhood function (distance distribution) of the
+    // directed entity graph: min-hop per reachable ordered pair via the
+    // bounded closure (h-carrying variant of q38's recursion — UNION
+    // dedups (s,v,h) triples, the h < 64 bound terminates cycles),
+    // grouped into #pairs per distance.
+    "q40_neighborhood" -> q(
+      """, dfe2 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj),
+        |r(s, v, h) AS (
+        |  SELECT v, v, 0 FROM ents
+        |  UNION
+        |  SELECT rr.s, a.dst, rr.h + 1 FROM r rr JOIN dfe2 a ON a.src = rr.v
+        |  WHERE rr.h < 64),
+        |d AS (SELECT s, v, min(h) AS h FROM r GROUP BY s, v)
+        |SELECT CAST(h AS BIGINT) AS hops, count(*) AS pairs
+        |FROM d GROUP BY h ORDER BY hops""".stripMargin),
+
+    // q41 — k-core coreness: the Montresor h-index iteration unrolled as
+    // chained CTEs (closed-form per round, q27c/q33/q35 design). 24
+    // rounds is far past the fixpoint on every sf's entity graph — the
+    // driver's value compare pits the Spark FIXPOINT against the
+    // 24-round unrolled output, so a data change that needed more
+    // rounds would fail the gate loudly rather than drift.
+    "q41_kcore" -> q(kcoreUnrolled(24)),
+
+    // q42 — exact inbound harmonic centrality: Σ 1/d(u,v) over q40's
+    // min-hop closure, unreached vertices 0. The HyperBall `harm`
+    // column is the sketch twin (spec-anchored; sketches have no SQL).
+    "q42_harmonic" -> q(
+      """, dfe2 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj),
+        |r(s, v, h) AS (
+        |  SELECT v, v, 0 FROM ents
+        |  UNION
+        |  SELECT rr.s, a.dst, rr.h + 1 FROM r rr JOIN dfe2 a ON a.src = rr.v
+        |  WHERE rr.h < 64),
+        |d AS (SELECT s, v, min(h) AS h FROM r GROUP BY s, v)
+        |SELECT e.v AS entity_id, CAST(coalesce(hh.h, 0.0) AS DOUBLE) AS harmonic
+        |FROM ents e LEFT JOIN (
+        |  SELECT v, sum(1.0 / h) AS h FROM d WHERE h > 0 GROUP BY v) hh
+        |  ON hh.v = e.v
+        |ORDER BY entity_id""".stripMargin),
 
     // q27 — the tol-CONVERGED full-graph PPR, value-checked against a
     // COMMITTED GOLDEN parquet (round-3 verdict ask #4): a converged

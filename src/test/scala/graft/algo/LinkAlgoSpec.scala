@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** HITS and multi-source BFS against independent dense driver-side
+/** HITS, multi-source BFS, SCC/bow-tie, neighborhood function
+  * (exact + HyperBall) and k-core against independent dense driver-side
   * oracles on deterministic random directed multigraphs, plus the CC
   * local-contraction equivalence (preContract on/off must be identical).
   */
@@ -190,6 +191,182 @@ class LinkAlgoSpec extends SparkSpec {
     assert(part == Map(0L -> "in", 1L -> "in", 2L -> "core", 3L -> "core",
       4L -> "core", 5L -> "out", 6L -> "out", 7L -> "other", 8L -> "other",
       9L -> "other"))
+  }
+
+  /** Driver-side per-root BFS distance distribution over DIRECTED arcs. */
+  private def denseDistribution(n: Int, arcs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    for ((u, v) <- arcs.distinct if u != v) adj(u.toInt) ::= v.toInt
+    val counts = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (root <- 0 until n) {
+      val dist = Array.fill(n)(-1L)
+      dist(root) = 0L
+      var frontier = List(root)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj).distinct.filter(dist(_) < 0)
+        frontier.foreach(dist(_) = d)
+      }
+      for (v <- 0 until n if dist(v) >= 0) counts(dist(v)) += 1L
+    }
+    counts.toMap
+  }
+
+  /** Driver-side k-core peeling oracle (undirected, dedup, no loops). */
+  private def corenessOracle(n: Int, arcs: Seq[(Long, Long)]): Array[Long] = {
+    val adj = Array.fill(n)(collection.mutable.Set.empty[Int])
+    for ((u, v) <- arcs if u != v) { adj(u.toInt) += v.toInt; adj(v.toInt) += u.toInt }
+    val deg = adj.map(_.size)
+    val core = Array.fill(n)(0L)
+    val removed = Array.fill(n)(false)
+    var k = 0
+    var remaining = n
+    while (remaining > 0) {
+      val stack = collection.mutable.Stack.empty[Int]
+      for (v <- 0 until n if !removed(v) && deg(v) <= k) stack.push(v)
+      if (stack.isEmpty) k += 1
+      else while (stack.nonEmpty) {
+        val v = stack.pop()
+        if (!removed(v)) {
+          removed(v) = true; core(v) = k.toLong; remaining -= 1
+          for (u <- adj(v) if !removed(u)) {
+            deg(u) -= 1; if (deg(u) <= k) stack.push(u)
+          }
+        }
+      }
+    }
+    core
+  }
+
+  test("neighborhood function exact on a directed path") {
+    val arcs = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Neighborhood.exactDistribution(arcs, (0L to 3L).toDF("vid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 4L, 1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  for (seed <- Seq(11L, 31L)) {
+    test(s"neighborhood function matches the per-root BFS oracle [seed=$seed]") {
+      val n = 40
+      val arcs = randomArcs(n, 120, seed).map(a => (a._1, a._2))
+      val want = denseDistribution(n, arcs)
+      val got = Neighborhood.exactDistribution(
+          arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+  }
+
+  /** Driver-side per-root BFS distance matrix (−1 = unreachable). */
+  private def denseDistances(n: Int, arcs: Seq[(Long, Long)]): Array[Array[Long]] = {
+    val adj = Array.fill(n)(List.empty[Int])
+    for ((u, v) <- arcs.distinct if u != v) adj(u.toInt) ::= v.toInt
+    Array.tabulate(n) { root =>
+      val dist = Array.fill(n)(-1L)
+      dist(root) = 0L
+      var frontier = List(root)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj).distinct.filter(dist(_) < 0)
+        frontier.foreach(dist(_) = d)
+      }
+      dist
+    }
+  }
+
+  for (seed <- Seq(17L, 53L)) {
+    test(s"exact harmonic centrality matches the dense inbound oracle [seed=$seed]") {
+      val n = 40
+      val arcs = randomArcs(n, 120, seed).map(a => (a._1, a._2))
+      val dist = denseDistances(n, arcs)
+      val want = Array.tabulate(n) { v =>
+        (0 until n).map { u => val d = dist(u)(v); if (d > 0) 1.0 / d else 0.0 }.sum
+      }
+      val got = Neighborhood.harmonicExact(
+          arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for (v <- 0 until n)
+        assert(math.abs(got(v.toLong) - want(v)) < 1e-12, s"vid=$v")
+    }
+  }
+
+  test("HyperBall harm on reversed arcs tracks exact inbound harmonic") {
+    val n = 300
+    val arcs = randomArcs(n, 900, 47L).map(a => (a._1, a._2))
+    val dist = denseDistances(n, arcs)
+    val want = Array.tabulate(n) { v =>
+      (0 until n).map { u => val d = dist(u)(v); if (d > 0) 1.0 / d else 0.0 }.sum
+    }
+    // Reverse the arcs: out-balls on the reversed graph are in-balls on
+    // the original, so `harm` becomes the inbound Boldi-Vigna sum.
+    val (_, balls) = Neighborhood.hyperball(
+      arcs.map { case (u, v) => (v, u) }.toDF("src", "dst"),
+      (0L until n.toLong).toDF("vid"), lgK = 12)
+    val got = balls.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // lgK=12 over ≤300-element balls is near-exact; per-vertex 5% plus a
+    // small absolute floor for low-centrality vertices.
+    for (v <- 0 until n)
+      assert(math.abs(got(v.toLong) - want(v)) <= math.max(0.05 * want(v), 0.5),
+        s"vid=$v got=${got(v.toLong)} want=${want(v)}")
+    val totGot = got.values.sum
+    val totWant = want.sum
+    assert(math.abs(totGot - totWant) / totWant < 0.02)
+  }
+
+  test("HyperBall tracks the exact cumulative N(t) within sketch error") {
+    val n = 300
+    val arcs = randomArcs(n, 900, 47L).map(a => (a._1, a._2))
+    val exact = denseDistribution(n, arcs)
+    val exactCum = exact.keys.toSeq.sorted.scanLeft(((-1L), 0.0)) {
+      case ((_, acc), t) => (t, acc + exact(t))
+    }.tail.toMap
+    val (curve, balls) = Neighborhood.hyperball(
+      arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"),
+      lgK = 12)
+    // lgK=12 over <=300-element balls keeps the Datasketches HLL in its
+    // near-exact regime; 5% headroom guards the estimator swap-over.
+    for ((t, est) <- curve if exactCum.contains(t.toLong)) {
+      val want = exactCum(t.toLong)
+      assert(math.abs(est - want) / want < 0.05, s"t=$t est=$est want=$want")
+    }
+    // The curve must run to saturation: its last point covers all pairs.
+    val total = exact.values.sum.toDouble
+    assert(math.abs(curve.last._2 - total) / total < 0.05)
+    // Per-vertex ball sizes sum to the same final mass.
+    val ballSum = balls.agg(sum("ball_size")).first().getDouble(0)
+    assert(math.abs(ballSum - total) / total < 0.05)
+  }
+
+  test("effective diameter from a cumulative curve") {
+    // mass 1, 4, 8, 9.5, 10 -> 90% of 10 is 9 -> first t reaching it is 3;
+    // 50% of 10 is 5 -> first t reaching it is 2 (mass 8).
+    val curve = Seq(0 -> 1.0, 1 -> 4.0, 2 -> 8.0, 3 -> 9.5, 4 -> 10.0)
+    assert(Neighborhood.effectiveDiameter(curve) == 3)
+    assert(Neighborhood.effectiveDiameter(curve, q = 0.5) == 2)
+  }
+
+  for (seed <- Seq(13L, 41L)) {
+    test(s"k-core coreness matches the peeling oracle [seed=$seed]") {
+      val n = 50
+      val dirArcs = randomArcs(n, 150, seed).map(a => (a._1, a._2))
+      val und = dirArcs.flatMap { case (u, v) => Seq((u, v), (v, u)) }.distinct
+      val want = corenessOracle(n, und)
+      val got = KCore.run(und.toDF("src", "dst"), (0L until n.toLong).toDF("vid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (v <- 0 until n) assert(got(v.toLong) == want(v), s"vid=$v")
+    }
+  }
+
+  test("k-core on a clique with a tail and an isolated vertex") {
+    // 5-clique {1..5} (coreness 4), tail 5-6-7 (coreness 1), isolated 0.
+    val clique = for (u <- 1L to 5L; v <- 1L to 5L if u != v) yield (u, v)
+    val tail = Seq((5L, 6L), (6L, 5L), (6L, 7L), (7L, 6L))
+    val got = KCore.run((clique ++ tail).toDF("src", "dst"), (0L to 7L).toDF("vid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L,
+      5L -> 4L, 6L -> 1L, 7L -> 1L))
   }
 
   test("CC local contraction: identical labels with preContract on/off") {
