@@ -549,9 +549,10 @@ object DocQueries {
     * entity graph — #ordered pairs at each shortest-hop distance (Broder
     * et al. WWW'00's N(t), the statistic behind "effective diameter").
     * All-roots BFS ([[graft.algo.Neighborhood.exactDistribution]]); the
-    * sketch-based scale path ([[graft.algo.Neighborhood.hyperball]],
-    * native Datasketches HLL aggregates) is spec-anchored against this
-    * exact form and bench-measured on the big Zipf graph.
+    * sketch-based scale path ([[graft.algo.Neighborhood.hyperball]], the
+    * in-house register-array HLL kernel) is spec-anchored against this
+    * exact form and bench-measured on the big Zipf graph
+    * (graft.bench.HyperBallProbe, BENCH_NOTES.md).
     */
   def qNeighborhood(s: SparkSession, dir: String): DataFrame =
     graft.algo.Neighborhood.exactDistribution(directedEntityArcs(s, dir), entityVertices(s, dir))

@@ -325,8 +325,8 @@ class LinkAlgoSpec extends SparkSpec {
     val (curve, balls) = Neighborhood.hyperball(
       arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"),
       lgK = 12)
-    // lgK=12 over <=300-element balls keeps the Datasketches HLL in its
-    // near-exact regime; 5% headroom guards the estimator swap-over.
+    // lgK=12 over <=300-element balls keeps the HLL in its linear-
+    // counting near-exact regime; 5% headroom guards the regime border.
     for ((t, est) <- curve if exactCum.contains(t.toLong)) {
       val want = exactCum(t.toLong)
       assert(math.abs(est - want) / want < 0.05, s"t=$t est=$est want=$want")
