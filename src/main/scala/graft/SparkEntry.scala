@@ -79,6 +79,9 @@ object SparkEntry {
     "q40_neighborhood" -> (Q.qNeighborhood _),
     "q41_kcore" -> (Q.qKCore _),
     "q42_harmonic" -> (Q.qHarmonic _),
+    "q43_clustering" -> (Q.qClustering _),
+    "q44_reciprocity" -> (Q.qReciprocity _),
+    "q45_assortativity" -> (Q.qAssortativity _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

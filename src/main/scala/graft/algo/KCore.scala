@@ -19,17 +19,29 @@ import org.apache.spark.storage.StorageLevel
   *
   * where H is the h-index (largest h with ≥ h neighbors of value ≥ h).
   * Every c(v) is non-increasing and lower-bounded by coreness(v); the
-  * fixpoint IS the coreness (Lübeck/Montresor convergence proof). Each
-  * round is closed-form, so a fixed-round unrolled SQL oracle
+  * fixpoint IS the coreness (Montresor et al.'s convergence proof).
+  * Each round is closed-form, so a fixed-round unrolled SQL oracle
   * value-checks the whole run (q41, same design as q27c/q33/q35).
   *
-  * Scale shape: one arc join + one per-vertex h-index per round. The
-  * h-index uses a row_number window keyed by vertex — partial values
-  * can't combine map-side, but the window state is one vertex's
+  * Event-driven rounds (the paper's actual schedule): a vertex is DIRTY
+  * while its value still falls, and a round recomputes H only for
+  * vertices with ≥ 1 dirty neighbor — skipped vertices keep their value
+  * (their inputs did not change, so their output could not). Round cost
+  * is O(frontier arcs), not O(E); termination (zero dirty) is the exact
+  * fixpoint, with no separate change-detector join. Loop mechanics
+  * follow the HyperBall discipline: arcs persisted pre-hashed on BOTH
+  * keys, state kept hash(vid) via partitioning-preserving
+  * localCheckpoint, three frontier-sized exchanges per round (affected
+  * ids, value gather by dst, h-index window by src), one action per
+  * round carrying the dirty count.
+  *
+  * The h-index itself is a row_number window keyed by vertex — partial
+  * values can't combine map-side, but the window state is one vertex's
   * neighbor list at a time (sort-based, spillable), and values are
-  * capped by the current c(v) ≤ deg(v), so Zipf hubs cost a sort of
-  * their adjacency, not a hot reducer. Rounds needed in practice:
-  * O(few) on web-ish graphs (bounded here by `maxRounds`).
+  * capped by c(v) ≤ deg(v), so Zipf hubs cost a sort of their
+  * adjacency, not a hot reducer. Rounds needed in practice: O(few) on
+  * web-ish graphs; a long induced path degrades to O(path length)
+  * (bounded by `maxRounds`, same caveat as min-label CC).
   */
 object KCore {
 
@@ -39,53 +51,78 @@ object KCore {
     * @param vertices (vid) full vertex set; isolated vertices → 0
     * @return (vid, coreness: Long) at the fixpoint
     */
-  def run(arcs: DataFrame, vertices: DataFrame,
-          maxRounds: Int = 64, checkpointEvery: Int = 5): DataFrame = {
+  def run(arcs: DataFrame, vertices: DataFrame, maxRounds: Int = 64,
+          verbose: Boolean = false): DataFrame =
+    runWithStats(arcs, vertices, maxRounds, verbose)._1
+
+  /** [[run]] plus (rounds executed, converged) — converged=false means
+    * the maxRounds cap hit with dirty vertices left, i.e. some values
+    * are still upper bounds, not final coreness. Long induced paths are
+    * the degenerate case (value propagation is one hop per round).
+    */
+  def runWithStats(arcs: DataFrame, vertices: DataFrame, maxRounds: Int = 64,
+                   verbose: Boolean = false): (DataFrame, Int, Boolean) = {
     val spark = arcs.sparkSession
-    def reRoot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
-    val a0 = arcs.select("src", "dst").where(col("src") =!= col("dst"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = vertices.select("vid").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val dedup = arcs.select("src", "dst").where(col("src") =!= col("dst")).distinct()
+    // Two hash-partitioned copies: bySrc feeds the affected→out-arcs join
+    // and the degree init, byDst feeds the dirty→affected probe and the
+    // neighbor-value gather. 2×E storage for exchange-free joins on both
+    // keys — the space/time trade a 10^12-arc deployment makes per key.
+    val bySrc = dedup.repartition(nPart, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val byDst = dedup.repartition(nPart, col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def zeroFill(partial: DataFrame, c: String): DataFrame =
-      verts.join(partial, Seq("vid"), "left")
-        .select(col("vid"), coalesce(col(c), lit(0L)).as(c))
+    // c₀ = degree (bySrc is already hash(src): groupBy reuses it), zero
+    // for isolated vertices; everyone starts dirty.
+    val degrees = bySrc.groupBy(col("src").as("vid")).agg(count(lit(1)).as("c"))
+    // ckpt = materialize + keep partitioning + BOUNDED stats: the raw
+    // localCheckpoint carries originStats whose sizeInBytes COMPOUNDS
+    // through round-over-round joins (see PlanUtils.dropOriginStats —
+    // a ~20-round loop drove the driver into million-digit BigInt math).
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftx.PlanUtils.dropOriginStats(df.localCheckpoint(true))
+    var state = ckpt(vertices.select("vid").distinct()
+      .join(degrees, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("c"), lit(0L)).as("c"), lit(true).as("dirty"))
+      .repartition(nPart, col("vid")))
 
-    // One h-index round: gather neighbor values along arcs, rank them
-    // descending per vertex, H = max(min(rank, value)).
-    def hIndexRound(state: DataFrame): DataFrame = {
-      val nb = a0.join(state.withColumnRenamed("vid", "dst").withColumnRenamed("c", "nc"), "dst")
+    def dirtyCount(st: DataFrame): Long =
+      st.agg(sum(col("dirty").cast("long"))).first().getLong(0)
+
+    var nDirty = dirtyCount(state)
+    var round = 0
+    while (nDirty > 0 && round < maxRounds) {
+      // Vertices with ≥1 dirty neighbor — the only ones whose H can move.
+      // The distinct's exchange lands on hash(vid)=hash(src), exactly the
+      // partitioning the out-arcs join needs.
+      val affected = byDst
+        .join(state.where(col("dirty")).select(col("vid").as("dst")), "dst")
+        .select(col("src")).distinct()
+      // Gather all neighbor values of affected vertices (h needs the FULL
+      // neighborhood, dirty or not), then the per-vertex h-index.
+      val nb = bySrc.join(affected, "src")
+        .join(state.select(col("vid").as("dst"), col("c").as("nc")), "dst")
         .select(col("src").as("vid"), col("nc"))
       val w = Window.partitionBy("vid").orderBy(col("nc").desc)
-      val h = nb.withColumn("rn", row_number().over(w))
-        .groupBy("vid").agg(max(least(col("rn"), col("nc"))).as("c"))
-      zeroFill(h, "c")
-    }
-
-    var state = zeroFill(
-      a0.groupBy(col("src").as("vid")).agg(count(lit(1)).as("c")), "c")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var stateLeaf = reRoot(state)
-    var round = 0
-    var changed = true
-    while (changed && round < maxRounds) {
-      val next0 = hIndexRound(stateLeaf)
-      val next =
-        if ((round + 1) % checkpointEvery == 0) next0.localCheckpoint(true)
-        else next0.persist(StorageLevel.MEMORY_AND_DISK)
-      val nextLeaf = reRoot(next)
-      // Convergence probe = the one action that materializes the round.
-      changed = nextLeaf.join(stateLeaf.withColumnRenamed("c", "pc"), "vid")
-        .where(col("c") =!= col("pc")).limit(1).count() > 0L
+      val delta = nb.withColumn("rn", row_number().over(w))
+        .groupBy("vid").agg(max(least(col("rn"), col("nc"))).as("nc"))
+      // Merge: recomputed vertices take min(old, new) — monotone by
+      // theory, min guards float-free exactness anyway — others carry.
+      val merged = state.join(delta, Seq("vid"), "left")
+        .select(col("vid"),
+          when(col("nc").isNotNull, least(col("c"), col("nc")))
+            .otherwise(col("c")).as("c"),
+          (col("nc").isNotNull && col("nc") < col("c")).as("dirty"))
+      val next = ckpt(merged) // keeps hash(vid, nPart)
+      nDirty = dirtyCount(next)
       state.unpersist(false)
       state = next
-      stateLeaf = nextLeaf
       round += 1
+      if (verbose) System.err.println(s"[kcore] round $round dirty=$nDirty")
     }
-    val out = stateLeaf.select(col("vid"), col("c").as("coreness"))
-      .localCheckpoint(true)
+    val out = state.select(col("vid"), col("c").as("coreness")).localCheckpoint(true)
     state.unpersist(false)
-    a0.unpersist(false); verts.unpersist(false)
-    out
+    bySrc.unpersist(false); byDst.unpersist(false)
+    (out, round, nDirty == 0L)
   }
 }

@@ -161,6 +161,11 @@ object Neighborhood {
                 maxRounds: Int = 64): (Seq[(Int, Double)], DataFrame) = {
     val spark = arcs.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
+    // ckpt = materialize + keep partitioning + BOUNDED stats (raw
+    // localCheckpoint carries originStats whose sizeInBytes compounds
+    // through round-over-round joins; see PlanUtils.dropOriginStats).
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftx.PlanUtils.dropOriginStats(df.localCheckpoint(true))
     // Pre-hash arcs by dst: every round's gather join then lines up with
     // the vid-hashed state without a new exchange.
     val a0 = arcs.select("src", "dst").distinct()
@@ -168,15 +173,14 @@ object Neighborhood {
 
     // groupBy(vid) leaves the state hash(vid, nPart); localCheckpoint
     // materializes it WITH that partitioning.
-    var state = vertices.select("vid").distinct()
+    var state = ckpt(vertices.select("vid").distinct()
       .groupBy("vid").agg(SketchOps.regHllAgg(col("vid"), lgK).as("ball"))
       .select(col("vid"), col("ball"),
         SketchOps.regHllEstimate(col("ball")).as("size"),
         lit(0.0).as("harm"), lit(true).as("dirty"))
       // Explicit repartition: AQE may coalesce the groupBy's shuffle, and
       // a coalesced count would put the state out of line with a0's.
-      .repartition(nPart, col("vid"))
-      .localCheckpoint(true)
+      .repartition(nPart, col("vid")))
     // One action per round: (Σ size, #dirty).
     def probe(st: DataFrame): (Double, Long) = {
       val r = st.agg(sum(col("size")), sum(col("dirty").cast("long"))).first()
@@ -204,7 +208,7 @@ object Neighborhood {
           (col("harm") + greatest(col("nsize") - col("size"), lit(0.0))
             / lit((round + 1).toDouble)).as("harm"),
           col("ndirty").as("dirty"))
-      val next = merged.localCheckpoint(true) // keeps hash(vid, nPart)
+      val next = ckpt(merged) // keeps hash(vid, nPart)
       val (nf, nd) = probe(next)
       state.unpersist(false)
       state = next

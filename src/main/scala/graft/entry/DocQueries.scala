@@ -589,6 +589,68 @@ object DocQueries {
       .select(col("vid").as("entity_id"), col("coreness"))
       .orderBy("entity_id")
 
+  /** Local clustering coefficient per entity over the undirected entity
+    * graph: lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 below degree 2 —
+    * the per-vertex transitivity statistic (Watts-Strogatz) web-graph
+    * analyses report next to the triangle count. Reuses the degree-
+    * oriented [[graft.algo.Triangles]] and the symmetrized arc degrees.
+    */
+  def qClustering(s: SparkSession, dir: String): DataFrame = {
+    val (perVertex, _) = Triangles.run(entityArcs(s, dir), entityVertices(s, dir))
+    val degs = entityArcs(s, dir).groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("deg"))
+    perVertex.join(degs, Seq("vid"), "left")
+      .select(col("vid").as("entity_id"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          round(lit(2.0) * col("triangles") / (col("deg") * (col("deg") - lit(1.0))), 9))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy("entity_id")
+  }
+
+  /** Arc reciprocity of the directed entity graph — the fraction of arcs
+    * (u,v) whose reverse (v,u) is also present (Broder et al.'s directed
+    * web-graph statistic; 1.0 would mean the graph is effectively
+    * undirected). One row: (n_arcs, n_recip, reciprocity).
+    */
+  def qReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val d = directedEntityArcs(s, dir)
+    val recip = d.join(
+      d.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    d.agg(count(lit(1)).as("n_arcs"))
+      .crossJoin(recip.agg(count(lit(1)).as("n_recip")))
+      .select(col("n_arcs"), col("n_recip"),
+        round(col("n_recip") / col("n_arcs"), 9).as("reciprocity"))
+  }
+
+  /** Degree assortativity of the undirected entity graph — Pearson
+    * correlation of endpoint degrees over the symmetrized arc set
+    * (Newman's r; negative = hubs link to leaves, the usual web shape).
+    * Scale shape: two broadcast-able degree joins + one moments aggregate
+    * (map-side partial covar/var). Spelled as guarded covar/√(var·var)
+    * rather than `corr`: a REGULAR graph (sf0.1's complete entity graph)
+    * has zero degree variance, where ANSI-mode corr throws
+    * DIVIDE_BY_ZERO — here r is undefined, flagged by `defined` = false
+    * with a 0.0 sentinel (not NULL: a NULL double reads back as NaN and
+    * NaN ≠ NaN breaks any value-hash comparator downstream).
+    */
+  def qAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val arcs = entityArcs(s, dir)
+    val degs = arcs.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+    arcs.select(col("src"), col("dst"))
+      .join(degs.select(col("vid").as("src"), col("deg").as("sdeg")), "src")
+      .join(degs.select(col("vid").as("dst"), col("deg").as("ddeg")), "dst")
+      .agg(covar_pop(col("sdeg").cast("double"), col("ddeg").cast("double")).as("cv"),
+        var_pop(col("sdeg").cast("double")).as("vs"),
+        var_pop(col("ddeg").cast("double")).as("vd"))
+      .select(
+        (coalesce(col("vs"), lit(0.0)) > 0 && coalesce(col("vd"), lit(0.0)) > 0)
+          .as("defined"),
+        round(when(col("vs") > 0 && col("vd") > 0,
+          col("cv") / sqrt(col("vs") * col("vd"))).otherwise(lit(0.0)), 9)
+          .cast("double").as("assortativity"))
+  }
+
   /** Host-level link-graph rollup — the Common-Crawl page→domain
     * aggregation over the pages input's `url` column: deterministic urls
     * per doc, deterministic doc→doc links (i→i+1, i→2i, i→⌊i/3⌋ where

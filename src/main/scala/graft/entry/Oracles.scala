@@ -743,6 +743,67 @@ dsh AS (
         |  ON hh.v = e.v
         |ORDER BY entity_id""".stripMargin),
 
+    // q43 — local clustering coefficient: q25's triangle CTE + symarcs
+    // degrees, lcc = 2T/(d(d-1)) rounded like the Spark side, 0 below
+    // degree 2.
+    "q43_clustering" -> q(
+      """, undx AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        |           FROM fe WHERE src <> dst GROUP BY 1, 2),
+        |trix AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |         FROM undx e1
+        |         JOIN undx e2 ON e2.a = e1.b
+        |         JOIN undx e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tcnt AS (SELECT v, count(*) AS c FROM (
+        |           SELECT x AS v FROM trix UNION ALL
+        |           SELECT y FROM trix UNION ALL
+        |           SELECT z FROM trix) GROUP BY v),
+        |degx AS (SELECT src AS v, count(*) AS d FROM symarcs GROUP BY src)
+        |SELECT e.v AS entity_id,
+        |       CAST(CASE WHEN coalesce(dg.d, 0) >= 2
+        |            THEN round(2.0 * coalesce(t.c, 0) / (dg.d * (dg.d - 1.0)), 9)
+        |            ELSE 0.0 END AS DOUBLE) AS lcc
+        |FROM ents e
+        |LEFT JOIN tcnt t ON t.v = e.v
+        |LEFT JOIN degx dg ON dg.v = e.v
+        |ORDER BY entity_id""".stripMargin),
+
+    // q44 — directed-arc reciprocity over q40's dfe2 arc set.
+    "q44_reciprocity" -> q(
+      """, dfe2 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj)
+        |SELECT (SELECT count(*) FROM dfe2) AS n_arcs,
+        |       (SELECT count(*) FROM dfe2 a
+        |        WHERE EXISTS (SELECT 1 FROM dfe2 b
+        |                      WHERE b.src = a.dst AND b.dst = a.src)) AS n_recip,
+        |       CAST(round((SELECT count(*) FROM dfe2 a
+        |         WHERE EXISTS (SELECT 1 FROM dfe2 b
+        |                       WHERE b.src = a.dst AND b.dst = a.src))
+        |         * 1.0 / (SELECT count(*) FROM dfe2), 9) AS DOUBLE) AS reciprocity""".stripMargin),
+
+    // q45 — degree assortativity: Pearson r of endpoint degrees over the
+    // symmetrized arc set, spelled as guarded covar_pop/√(var·var). A
+    // regular graph (sf0.1's complete entity graph) has zero degree
+    // variance → r undefined: defined=false + 0.0 sentinel (never NULL —
+    // a NULL double round-trips as NaN and NaN ≠ NaN breaks value-hash
+    // comparators; plain corr also throws under Spark ANSI there).
+    // Normalization-invariant, so engines agree to summation-order
+    // noise, absorbed by round 9.
+    "q45_assortativity" -> q(
+      """, degx AS (SELECT src AS v, count(*) AS d FROM symarcs GROUP BY src),
+        |mom AS (
+        |  SELECT covar_pop(ds.d, dd.d) AS cv,
+        |         var_pop(ds.d) AS vs, var_pop(dd.d) AS vd
+        |  FROM symarcs a
+        |  JOIN degx ds ON ds.v = a.src
+        |  JOIN degx dd ON dd.v = a.dst)
+        |SELECT (coalesce(vs, 0) > 0 AND coalesce(vd, 0) > 0) AS defined,
+        |       CAST(CASE WHEN vs > 0 AND vd > 0
+        |            THEN round(cv / sqrt(vs * vd), 9) ELSE 0.0 END AS DOUBLE)
+        |       AS assortativity
+        |FROM mom""".stripMargin),
+
     // q27 — the tol-CONVERGED full-graph PPR, value-checked against a
     // COMMITTED GOLDEN parquet (round-3 verdict ask #4): a converged
     // fixpoint has no closed-form SQL, so the oracle reads the committed
