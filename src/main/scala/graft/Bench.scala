@@ -287,7 +287,7 @@ object Bench {
       "q27c_ppr_fixed", "q31_embed_dedup", "q32_ann_ivf", "q33_pagerank_global",
       "q35_hits", "q36_host_graph", "q37_bfs_hops", "q38_scc", "q39_bowtie",
       "q40_neighborhood", "q41_kcore", "q42_harmonic", "q43_clustering",
-      "q44_reciprocity", "q45_assortativity")
+      "q44_reciprocity", "q45_assortativity", "q46_hyperball")
     val spark1 = session(cpus, cpus)
     val qTimes: Seq[(String, Double)] =
       if (skipHeadline) Seq.empty
@@ -309,6 +309,52 @@ object Bench {
           }
           name -> t
         }
+      }
+
+    // ---- Part 1b: the reference's ACTUAL serving workload (retrieve =
+    // seeds -> PPR -> readout over an indexed store) plus the incremental
+    // lifecycle, measured end-to-end so round-over-round regressions in
+    // the serving path show up in the headline table, not only in specs.
+    //   serve_index        index the sf documents table from scratch
+    //   retrieve_cold      first 64-query batch (graph prep + broadcast)
+    //   retrieve_warm      median of 3 subsequent batches (the amortized
+    //                      per-batch cost a retrieval service pays)
+    //   index_delta_1pct   index +1% new docs into the existing store
+    //                      (O(delta) maintenance, round-4 lake commits)
+    //   index_rebuild      from-scratch rebuild of the same 101% corpus
+    val serveTimes: Seq[(String, Double)] =
+      if (skipHeadline) Seq.empty
+      else {
+        import graft.retrieve.{GraphStore, Indexer, Retriever}
+        val docs = spark1.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("text").as("content"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nDocs = docs.count()
+        val head = docs.limit((nDocs * 99 / 100).toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tail = docs.exceptAll(head)
+        val storeDir = Files.createTempDirectory("graft_bench_store").toString
+        val store = new GraphStore(spark1, storeDir)
+        val (_, tIndex) = timed(Indexer.index(store, docs))
+        def batch(b: Int): Seq[(Long, String)] = (0 until 64).map(i =>
+          (b.toLong * 64 + i) -> s"document ${(b * 131 + i * 7) % 997} mentions topic ${(b * 17 + i) % 97}")
+        val cfg = Retriever.RetrieveConfig(retrievalTopK = 20)
+        val (_, tCold) = timed(Retriever.retrieve(store, batch(0), cfg).count())
+        val warms = (1 to 3).map(b => timed(Retriever.retrieve(store, batch(b), cfg).count())._2)
+        // Incremental vs rebuild: a fresh store indexed to 99%, then the
+        // timed +1% delta; rebuild = the full corpus into a clean store.
+        val deltaDir = Files.createTempDirectory("graft_bench_delta").toString
+        val deltaStore = new GraphStore(spark1, deltaDir)
+        Indexer.index(deltaStore, head)
+        val (_, tDelta) = timed(Indexer.index(deltaStore, tail))
+        val rebuildDir = Files.createTempDirectory("graft_bench_rebuild").toString
+        val (_, tRebuild) = timed(Indexer.index(new GraphStore(spark1, rebuildDir), docs))
+        docs.unpersist(false); head.unpersist(false)
+        System.err.println(f"[bench] serve: index ${tIndex}%.1fs cold ${tCold}%.2fs " +
+          f"warm ${median(warms)}%.2fs; delta +1%% ${tDelta}%.2fs vs rebuild ${tRebuild}%.2fs")
+        Seq("serve_index" -> tIndex, "retrieve_cold" -> tCold,
+          "retrieve_warm" -> median(warms),
+          "index_delta_1pct" -> tDelta, "index_rebuild" -> tRebuild)
       }
 
     // ---- Part 2: scaling protocol — same jobs, same inputs, two levels.
@@ -337,28 +383,84 @@ object Bench {
       8 -> Seq.empty[(Double, Double, Double)],
       32 -> Seq.empty[(Double, Double, Double)])
     val pprReps = scala.collection.mutable.Map(8 -> Seq.empty[Double], 32 -> Seq.empty[Double])
+    // Per-RUN records (round-4 verdict #6): each interleaved 8/32 block
+    // pair is one full-protocol run, and its OWN hardware ceilings are
+    // measured immediately after it so the "engine >= ceiling" claim is
+    // verifiable per run from this one artifact (ceilings on this shared
+    // VM move 0.54-0.81 across a round — a run's efficiency is only
+    // meaningful against the ceiling of the SAME weather window).
+    case class RunRec(pprEffBest: Double, pprEffMedian: Double,
+                      ccEff: Double, fma: Double, shuffle: Double,
+                      ppr8: Seq[Double], ppr32: Seq[Double])
+    val runRecs = scala.collection.mutable.ArrayBuffer.empty[RunRec]
+    // Shuffle ceiling probe: ONE full hash-shuffle (write + fetch + merge)
+    // of `shuffleN` single-long rows through a noop sink, no compute — the
+    // in-JVM local-mode roof for any shuffle-bound phase (star CC, graph
+    // encode, extraction), the way the FMA probe is the roof for the
+    // compute-bound PPR kernel. Local mode shares ONE disk and one memory
+    // bus across all "executors"; a real N→4N executor scale-out brings
+    // its own spindles/NICs per node.
+    val shuffleN = sys.env.getOrElse("GRAFT_BENCH_SHUFFLE_ROWS", "80000000").toLong
+    def shuffleWall(cores: Int): Double = {
+      val s = session(cores, cores)
+      try {
+        def pass(n: Long): Double = {
+          val t0 = System.nanoTime()
+          s.range(n).select(xxhash64(col("id")).as("k"))
+            .repartition(cores * 2, col("k"))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        pass(shuffleN / 8) // warmup
+        math.min(pass(shuffleN), pass(shuffleN))
+      } finally s.stop()
+    }
+    val shuffleW8s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val shuffleW32s = scala.collection.mutable.ArrayBuffer.empty[Double]
     var csrShared: PprShard.LocalCsr = null
     var nVShared = 0L
     var statsShared: PprStats = null
-    for (block <- 0 until blocksPerLevel; cores <- Seq(8, 32)) {
-      val s = session(cores, cores)
-      // Build phases run in EVERY block (not once per level): a one-shot
-      // build measurement aliases a single bad steal window straight into
-      // the build-efficiency ratio, exactly what interleaving exists to
-      // prevent. Per-level build/graph = median of the three blocks.
-      val (bw, cw, gw, csr, nV) = runBuildPhases(s, scaleDir)
-      buildReps(cores) = buildReps(cores) :+ ((bw, cw, gw))
-      if (csrShared == null) { csrShared = csr; nVShared = nV }
-      else require(csr.nEdges == csrShared.nEdges && nV == nVShared,
-        "scaling graph must be identical at both levels and blocks")
-      val (walls, stats) = runPprBlock(s, csrShared, nVShared, scaleQueries,
-        repsPerBlock, scaleBatch)
-      if (statsShared == null) statsShared = stats
-      pprReps(cores) = pprReps(cores) ++ walls
-      System.err.println(f"[bench] block $block local[$cores] " +
-        f"build/cc/graph: ${bw}%.1f/${cw}%.1f/${gw}%.1f, ppr reps: " +
-        walls.map("%.2f".format(_)).mkString(" "))
-      s.stop()
+    for (block <- 0 until blocksPerLevel) {
+      val blockWalls = scala.collection.mutable.Map.empty[Int, Seq[Double]]
+      val blockCc = scala.collection.mutable.Map.empty[Int, Double]
+      for (cores <- Seq(8, 32)) {
+        val s = session(cores, cores)
+        // Build phases run in EVERY block (not once per level): a one-shot
+        // build measurement aliases a single bad steal window straight into
+        // the build-efficiency ratio, exactly what interleaving exists to
+        // prevent. Per-level build/graph = median of the three blocks.
+        val (bw, cw, gw, csr, nV) = runBuildPhases(s, scaleDir)
+        buildReps(cores) = buildReps(cores) :+ ((bw, cw, gw))
+        blockCc(cores) = cw
+        if (csrShared == null) { csrShared = csr; nVShared = nV }
+        else require(csr.nEdges == csrShared.nEdges && nV == nVShared,
+          "scaling graph must be identical at both levels and blocks")
+        val (walls, stats) = runPprBlock(s, csrShared, nVShared, scaleQueries,
+          repsPerBlock, scaleBatch)
+        if (statsShared == null) statsShared = stats
+        pprReps(cores) = pprReps(cores) ++ walls
+        blockWalls(cores) = walls
+        System.err.println(f"[bench] block $block local[$cores] " +
+          f"build/cc/graph: ${bw}%.1f/${cw}%.1f/${gw}%.1f, ppr reps: " +
+          walls.map("%.2f".format(_)).mkString(" "))
+        s.stop()
+      }
+      // This run's own ceilings, measured in the same weather window.
+      val fmaRun = FmaProbe.ceiling(40000000)._1
+      val shuffleRun = {
+        val w8 = shuffleWall(8); val w32 = shuffleWall(32)
+        shuffleW8s += w8; shuffleW32s += w32
+        (w8 / w32) / 4.0
+      }
+      runRecs += RunRec(
+        pprEffBest = (blockWalls(8).min / blockWalls(32).min) / 4.0,
+        pprEffMedian = (median(blockWalls(8)) / median(blockWalls(32))) / 4.0,
+        ccEff = (blockCc(8) / blockCc(32)) / 4.0,
+        fma = fmaRun, shuffle = shuffleRun,
+        ppr8 = blockWalls(8), ppr32 = blockWalls(32))
+      System.err.println(f"[bench] run $block: eff_ppr_best ${runRecs.last.pprEffBest}%.3f " +
+        f"(fma ceiling ${fmaRun}%.3f -> normalized ${runRecs.last.pprEffBest / fmaRun}%.3f), " +
+        f"eff_cc ${runRecs.last.ccEff}%.3f (shuffle ceiling ${shuffleRun}%.3f)")
     }
     def level(cores: Int): LevelResult = {
       val walls = pprReps(cores)
@@ -397,36 +499,17 @@ object Bench {
       (buildReps(32).map(_._1).min + buildReps(32).map(_._3).min +
         r32.pprWalls.min)) / 4.0
 
-    // ---- Hardware ceilings, measured in the same run (see BENCH.md).
-    // Shuffle ceiling: ONE full hash-shuffle (write + fetch + merge) of
-    // `shuffleN` single-long rows through a noop sink, no compute — the
-    // in-JVM local-mode roof for any shuffle-bound phase (star CC, graph
-    // encode, extraction), the way the FMA probe is the roof for the
-    // compute-bound PPR kernel. Local mode shares ONE disk and one memory
-    // bus across all "executors"; a real N→4N executor scale-out brings
-    // its own spindles/NICs per node.
-    val shuffleN = sys.env.getOrElse("GRAFT_BENCH_SHUFFLE_ROWS", "80000000").toLong
-    def shuffleWall(cores: Int): Double = {
-      val s = session(cores, cores)
-      try {
-        def pass(n: Long): Double = {
-          val t0 = System.nanoTime()
-          s.range(n).select(xxhash64(col("id")).as("k"))
-            .repartition(cores * 2, col("k"))
-            .write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        pass(shuffleN / 8) // warmup
-        math.min(pass(shuffleN), pass(shuffleN))
-      } finally s.stop()
-    }
-    val sw8 = shuffleWall(8)
-    val sw32 = shuffleWall(32)
-    val shuffleEff = (sw8 / sw32) / 4.0
+    // ---- Aggregate ceilings over the per-run measurements (see BENCH.md;
+    // the per-run values live in `runRecs` and the JSON "runs" array).
+    val sw8 = median(shuffleW8s.toSeq)
+    val sw32 = median(shuffleW32s.toSeq)
+    val shuffleEff = median(runRecs.map(_.shuffle).toSeq)
     val md5Eff = median((1 to 3).map(_ => md5Ceiling()._1))
-    val fmaEff = median((1 to 3).map(_ => FmaProbe.ceiling(40000000)._1))
+    val fmaEff = median(runRecs.map(_.fma).toSeq)
     val stream8 = StreamProbe.triad(8, 4 << 20, 6)
     val stream32 = StreamProbe.triad(32, 4 << 20, 6)
+    val effPprMedianOfRuns = median(runRecs.map(_.pprEffBest).toSeq)
+    val effPprVsFmaMedianOfRuns = median(runRecs.map(r => r.pprEffBest / r.fma).toSeq)
 
     def levelJson(r: LevelResult): String =
       s"""{"build_sec":${"%.2f".format(r.buildWall)},"cc_sec":${"%.2f".format(r.ccWall)},"graph_sec":${"%.2f".format(r.graphWall)},""" +
@@ -436,9 +519,10 @@ object Bench {
       s""""edges_per_sec":${"%.0f".format(r.edgesPerSec)},"iters_per_sec":${"%.1f".format(r.itersPerSec)},""" +
       s""""queries_per_sec":${"%.1f".format(r.queriesPerSec)}}"""
 
-    val qJson = qTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+    val allTimes = qTimes ++ serveTimes
+    val qJson = allTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = qTimes.map(_._2).sum
+    val total = allTimes.map(_._2).sum
     val json =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
       s""""scaling":{"input":{"pages":$scalePages,"vertices":${r8.nV},"arcs":${r8.nE},"queries":$scaleQueries,"batch":$scaleBatch},""" +
@@ -456,6 +540,18 @@ object Bench {
       s""""ppr_spread_32":${"%.3f".format(spread(r32.pprWalls))},""" +
       s""""ppr_iqr_8":${"%.3f".format(iqr(r8.pprWalls))},""" +
       s""""ppr_iqr_32":${"%.3f".format(iqr(r32.pprWalls))},""" +
+      runRecs.zipWithIndex.map { case (r, i) =>
+        s"""{"run":$i,"efficiency_ppr_best":${"%.3f".format(r.pprEffBest)},""" +
+        s""""efficiency_ppr_median":${"%.3f".format(r.pprEffMedian)},""" +
+        s""""efficiency_cc":${"%.3f".format(r.ccEff)},""" +
+        s""""fma_ceiling":${"%.3f".format(r.fma)},""" +
+        s""""shuffle_ceiling":${"%.3f".format(r.shuffle)},""" +
+        s""""efficiency_ppr_vs_fma":${"%.3f".format(r.pprEffBest / r.fma)},""" +
+        s""""ppr_reps_8":[${r.ppr8.map("%.2f".format(_)).mkString(",")}],""" +
+        s""""ppr_reps_32":[${r.ppr32.map("%.2f".format(_)).mkString(",")}]}"""
+      }.mkString(""""runs":[""", ",", "],") +
+      s""""efficiency_ppr_median_of_runs":${"%.3f".format(effPprMedianOfRuns)},""" +
+      s""""efficiency_ppr_vs_fma_median_of_runs":${"%.3f".format(effPprVsFmaMedianOfRuns)},""" +
       s""""hw_ceiling_8to32":${"%.3f".format(md5Eff)},""" +
       s""""shuffle_ceiling_8to32":${"%.3f".format(shuffleEff)},""" +
       s""""shuffle_rows_per_sec_32":${"%.0f".format(shuffleN / sw32)},""" +
@@ -471,9 +567,9 @@ object Bench {
 
     // Assembled without stripMargin: generated table rows start with '|'.
     val headlineTable =
-      if (qTimes.isEmpty) "(skipped)"
+      if (allTimes.isEmpty) "(skipped)"
       else "| query | seconds |\n|---|---|\n" +
-        qTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n")
+        allTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n")
     def reps(r: LevelResult): String = r.pprWalls.map("%.2f".format(_)).mkString(" / ")
     val md =
       s"# BENCH — measured (this round)\n\n" +
@@ -513,6 +609,19 @@ object Bench {
       s"(round-3 PPR 'efficiency 1.44' artifact), best-rep compares each\n" +
       s"level's steady-state execution. Both derive from the full rep arrays\n" +
       s"above.\n\n" +
+      s"### Per-run protocol results (each interleaved 8/32 block pair = one\n" +
+      s"full-protocol run, with ITS OWN ceilings measured in the same weather\n" +
+      s"window; arrays also in BENCH.json `scaling.runs`)\n\n" +
+      "| run | PPR eff (best-rep) | FMA ceiling | PPR/FMA | star-CC eff | shuffle ceiling | PPR reps 8 | PPR reps 32 |\n" +
+      "|---|---|---|---|---|---|---|---|\n" +
+      runRecs.zipWithIndex.map { case (r, i) =>
+        s"| $i | ${"%.3f".format(r.pprEffBest)} | ${"%.3f".format(r.fma)} | " +
+        s"${"%.3f".format(r.pprEffBest / r.fma)} | ${"%.3f".format(r.ccEff)} | " +
+        s"${"%.3f".format(r.shuffle)} | ${r.ppr8.map("%.2f".format(_)).mkString(" ")} | " +
+        s"${r.ppr32.map("%.2f".format(_)).mkString(" ")} |"
+      }.mkString("\n") + "\n\n" +
+      s"**Median of runs: PPR ${"%.3f".format(effPprMedianOfRuns)} raw, " +
+      s"${"%.3f".format(effPprVsFmaMedianOfRuns)} normalized to the same-run FMA ceiling.**\n\n" +
       s"## Hardware ceilings measured in the same run\n\n" +
       s"| probe | what it bounds | 8->32 efficiency / value |\n|---|---|---|\n" +
       s"| md5 burn (int ALU, no shared state) | integer core scaling | ${"%.3f".format(md5Eff)} |\n" +

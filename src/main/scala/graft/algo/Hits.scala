@@ -36,6 +36,9 @@ object Hits {
     */
   def run(arcs: DataFrame, vertices: DataFrame, sweeps: Int = 20,
           checkpointEvery: Int = 5): DataFrame = {
+    // sweeps = 0 would leave `auth` unbound (NPE at the final join) and has
+    // no meaning anyway: HITS without a power step is just the init vector.
+    require(sweeps >= 1, s"HITS needs at least one sweep (got $sweeps)")
     val spark = arcs.sparkSession
     // LAZY re-root: normalized() references its input twice (norm branch
     // + value branch) — without collapsing each half-step to a LogicalRDD

@@ -49,11 +49,23 @@ object KCore {
     *                  present (symmetrized), self-loops excluded;
     *                  deduplicated here.
     * @param vertices (vid) full vertex set; isolated vertices → 0
-    * @return (vid, coreness: Long) at the fixpoint
+    * @return (vid, coreness: Long) at the fixpoint. THROWS if `maxRounds`
+    *         is exhausted with dirty vertices left: the values would be
+    *         upper bounds, not coreness, and returning them silently is
+    *         how a chain-heavy graph ships wrong analytics (a sparse Zipf
+    *         graph was measured to need a few hundred rounds —
+    *         bench.KCoreProbe). Callers that explicitly tolerate bounds
+    *         use [[runWithStats]] and check `converged` themselves.
     */
-  def run(arcs: DataFrame, vertices: DataFrame, maxRounds: Int = 64,
-          verbose: Boolean = false): DataFrame =
-    runWithStats(arcs, vertices, maxRounds, verbose)._1
+  def run(arcs: DataFrame, vertices: DataFrame, maxRounds: Int = 512,
+          verbose: Boolean = false): DataFrame = {
+    val (out, rounds, converged) = runWithStats(arcs, vertices, maxRounds, verbose)
+    require(converged,
+      s"k-core h-index iteration did not converge within $rounds rounds " +
+        s"(cap $maxRounds); values are still upper bounds — raise maxRounds " +
+        "or call runWithStats to accept bounds explicitly")
+    out
+  }
 
   /** [[run]] plus (rounds executed, converged) — converged=false means
     * the maxRounds cap hit with dirty vertices left, i.e. some values

@@ -55,6 +55,14 @@ object Triangles {
     val all = vertices.select("vid")
       .join(perVertex, Seq("vid"), "left")
       .select(col("vid"), coalesce(col("triangles"), lit(0L)).as("triangles"))
-    (all, total)
+    // Pin the O(V) result and release the O(E)/O(wedges) working caches —
+    // callers can't reach `und`/`tris`, so returning a frame that depends
+    // on them would leak two cached frames per invocation in a long-lived
+    // serving JVM (same localCheckpoint-then-unpersist discipline as
+    // ConnectedComponents.run).
+    val pinned = all.localCheckpoint(true)
+    tris.unpersist(false)
+    und.unpersist(false)
+    (pinned, total)
   }
 }

@@ -348,10 +348,17 @@ object DocQueries {
     labels.select(col("vid").as("entity_id"), col("component")).orderBy("entity_id")
   }
 
-  def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val (perVertex, _) = Triangles.run(entityArcs(s, dir), entityVertices(s, dir))
-    perVertex.select(col("vid").as("entity_id"), col("triangles")).orderBy("entity_id")
-  }
+  /** Memoized per-vertex triangle counts — q25 reads them straight, q43
+    * derives the clustering coefficient (one duplicated degree-oriented
+    * two-join pass per suite before round 5).
+    */
+  private def trianglesPerVertex(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, s"triangles:$dir")(
+      Triangles.run(entityArcs(s, dir), entityVertices(s, dir))._1)
+
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    trianglesPerVertex(s, dir)
+      .select(col("vid").as("entity_id"), col("triangles")).orderBy("entity_id")
 
   def qDegrees(s: SparkSession, dir: String): DataFrame =
     entityArcs(s, dir).groupBy(col("src").as("entity_id"))
@@ -501,14 +508,19 @@ object DocQueries {
     * id (canonical); oracle = the mutual-reachability closure as a
     * recursive CTE.
     */
-  def qScc(s: SparkSession, dir: String): DataFrame = {
-    val dArcs = triples(s, dir).where(col("subj") =!= col("obj"))
-      .select(Ids.mdhash(Ids.EntityNs, col("subj")).as("src"),
-        Ids.mdhash(Ids.EntityNs, col("obj")).as("dst"))
-    graft.algo.Scc.run(dArcs, entityVertices(s, dir))
+  /** Memoized SCC label frame of the directed entity graph — q38 reads it
+    * straight and q39 classifies against its largest component; before
+    * round 5 qBowtie re-ran the whole trim/color/pivot fixpoint q38 had
+    * just computed (~17 s duplicate work per suite pass).
+    */
+  private def sccLabels(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, s"sccLabels:$dir")(
+      graft.algo.Scc.run(directedEntityArcs(s, dir), entityVertices(s, dir)))
+
+  def qScc(s: SparkSession, dir: String): DataFrame =
+    sccLabels(s, dir)
       .select(col("vid").as("entity_id"), col("scc"))
       .orderBy("entity_id")
-  }
 
   /** Bow-tie decomposition (Broder et al., "Graph structure in the Web",
     * WWW'00) of the directed entity graph: each vertex is classified
@@ -520,18 +532,22 @@ object DocQueries {
     * the oracle's CASE precedence is mirrored anyway.
     */
   def qBowtie(s: SparkSession, dir: String): DataFrame = {
-    val dArcs = triples(s, dir).where(col("subj") =!= col("obj"))
-      .select(Ids.mdhash(Ids.EntityNs, col("subj")).as("src"),
-        Ids.mdhash(Ids.EntityNs, col("obj")).as("dst")).distinct()
+    val dArcs = directedEntityArcs(s, dir)
     val verts = entityVertices(s, dir)
-    val scc = graft.algo.Scc.run(dArcs, verts)
+    val scc = sccLabels(s, dir) // memo-shared with q38
     val giant = scc.groupBy("scc").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("scc").asc).limit(1).select("scc")
     val core = scc.join(giant, "scc").select("vid")
-    val fromCore = graft.algo.Bfs.hops(dArcs, verts, core)
+    // maxRounds is effectively unbounded (the frontier loop exhausts in
+    // ≤ diameter rounds anyway): the q39 oracle computes an UNBOUNDED
+    // reachability closure, so a 64-hop cap here would classify a deep
+    // vertex 'other' while the oracle says 'in'/'out' (q37/q40/q42 bound
+    // BOTH sides at 64; q39's oracle has no bound to mirror).
+    val fromCore = graft.algo.Bfs.hops(dArcs, verts, core, maxRounds = Int.MaxValue)
       .where(col("hops").isNotNull).select("vid")
     val toCore = graft.algo.Bfs.hops(
-      dArcs.select(col("dst").as("src"), col("src").as("dst")), verts, core)
+      dArcs.select(col("dst").as("src"), col("src").as("dst")), verts, core,
+        maxRounds = Int.MaxValue)
       .where(col("hops").isNotNull).select("vid")
     verts
       .join(core.withColumn("is_core", lit(true)), Seq("vid"), "left")
@@ -554,9 +570,19 @@ object DocQueries {
     * exact form and bench-measured on the big Zipf graph
     * (graft.bench.HyperBallProbe, BENCH_NOTES.md).
     */
+  /** Memoized exact all-pairs distance frame (root, vid, hops) of the
+    * directed entity graph — the all-roots BFS that feeds q40 (distance
+    * distribution), q42 (harmonic centrality) and q46's exact anchor;
+    * before round 5 q42 re-ran the whole BFS q40 had just computed.
+    */
+  private def exactDist(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, s"exactDist:$dir")(
+      graft.algo.Neighborhood.exactDistances(directedEntityArcs(s, dir),
+        entityVertices(s, dir)))
+
   def qNeighborhood(s: SparkSession, dir: String): DataFrame =
-    graft.algo.Neighborhood.exactDistribution(directedEntityArcs(s, dir), entityVertices(s, dir))
-      .select(col("hops"), col("pairs"))
+    exactDist(s, dir)
+      .groupBy("hops").agg(count(lit(1)).as("pairs"))
       .orderBy("hops")
 
   /** Directed subject→object entity arcs (the graph q37/q38/q39/q40/q42
@@ -574,10 +600,71 @@ object DocQueries {
     * .Neighborhood.hyperball]]'s `harm` column (spec-anchored against
     * this exact form, no SQL shape for sketches).
     */
-  def qHarmonic(s: SparkSession, dir: String): DataFrame =
-    graft.algo.Neighborhood.harmonicExact(directedEntityArcs(s, dir), entityVertices(s, dir))
-      .select(col("vid").as("entity_id"), col("harmonic"))
+  def qHarmonic(s: SparkSession, dir: String): DataFrame = {
+    val h = exactDist(s, dir) // memo-shared with q40/q46
+      .where(col("hops") > 0L)
+      .groupBy(col("vid"))
+      .agg(sum(lit(1.0) / col("hops")).as("h"))
+    entityVertices(s, dir)
+      .join(h, Seq("vid"), "left")
+      .select(col("vid").as("entity_id"),
+        coalesce(col("h"), lit(0.0)).as("harmonic"))
       .orderBy("entity_id")
+  }
+
+  /** q46 — the driver-level tolerance gate for the SKETCH scale path:
+    * HyperBall (register-array HLL, [[graft.algo.Neighborhood.hyperball]])
+    * against the exact distance frame. Output rows are the EXACT
+    * cumulative neighborhood curve (hops, pairs_cum) — byte-comparable to
+    * the DuckDB CTE oracle — plus two booleans computed Spark-side:
+    * `curve_ok` (the deterministic HLL estimate of N(t) within ±5% of
+    * exact at that t) and `harm_ok` (total harmonic mass within ±5%;
+    * Σ_v outbound-harm == Σ_v inbound-harm == Σ_{pairs d>0} 1/d, so the
+    * direction difference vs q42 cancels in the total). The oracle pins
+    * both booleans to literal TRUE: a sketch regression past the committed
+    * tolerance fails the hash gate loudly at every sf.
+    */
+  def qHyperball(s: SparkSession, dir: String): DataFrame = {
+    val d = exactDist(s, dir)
+    val exact = d.groupBy("hops").agg(count(lit(1)).as("pairs"))
+    val wc = Window.orderBy("hops")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exactCum = exact.select(col("hops"), sum("pairs").over(wc).as("pairs_cum"))
+    // The sketch kernel keys its register state by LONG vid (the 100-TB
+    // shape: encoded web graphs). The entity graph uses string ids, and
+    // q46 only consumes the GLOBAL curve + total harmonic mass, so an
+    // injective deterministic long encoding suffices — xxhash64 of the
+    // id (collision odds ~n²/2⁶⁴, zero at every test sf, and a collision
+    // would only nudge one HLL register, inside the ±5% gate anyway).
+    val (curve, balls) =
+      graft.algo.Neighborhood.hyperball(
+        directedEntityArcs(s, dir).select(
+          xxhash64(col("src")).as("src"), xxhash64(col("dst")).as("dst")),
+        entityVertices(s, dir).select(xxhash64(col("vid")).as("vid")),
+        lgK = 12)
+    import s.implicits._
+    val curveDf = curve.toDF("t", "est").select(col("t").cast("long").as("hops"), col("est"))
+    // The sketch loop stops once no register changes — at t_s ≤ the exact
+    // diameter (registers are monotone over monotone balls, and can
+    // saturate a hop or two early). N(t) is constant past convergence, so
+    // the final estimate IS the sketch's value for every later t; without
+    // the carry-forward an exact row beyond t_s would see est = null and
+    // fail the gate spuriously.
+    val lastEst = curve.last._2
+    val exactHarm = d.where(col("hops") > 0L)
+      .agg(sum(lit(1.0) / col("hops")).as("eh"))
+    val sketchHarm = balls.agg(sum(col("harm")).as("sh"))
+    val harmOk = exactHarm.crossJoin(sketchHarm)
+      .select((abs(col("sh") - col("eh")) <= lit(0.05) * col("eh")).as("harm_ok"))
+    exactCum.join(curveDf, Seq("hops"), "left")
+      .crossJoin(broadcast(harmOk))
+      .select(col("hops"), col("pairs_cum"),
+        (abs(coalesce(col("est"), lit(lastEst)) - col("pairs_cum"))
+          <= lit(0.05) * col("pairs_cum"))
+          .as("curve_ok"),
+        col("harm_ok"))
+      .orderBy("hops")
+  }
 
   /** k-core decomposition (coreness per entity) of the undirected entity
     * graph — distributed h-index iteration to fixpoint
@@ -596,7 +683,7 @@ object DocQueries {
     * oriented [[graft.algo.Triangles]] and the symmetrized arc degrees.
     */
   def qClustering(s: SparkSession, dir: String): DataFrame = {
-    val (perVertex, _) = Triangles.run(entityArcs(s, dir), entityVertices(s, dir))
+    val perVertex = trianglesPerVertex(s, dir) // memo-shared with q25
     val degs = entityArcs(s, dir).groupBy(col("src").as("vid"))
       .agg(count(lit(1)).as("deg"))
     perVertex.join(degs, Seq("vid"), "left")

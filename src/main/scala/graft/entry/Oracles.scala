@@ -743,6 +743,29 @@ dsh AS (
         |  ON hh.v = e.v
         |ORDER BY entity_id""".stripMargin),
 
+    // q46 — the sketch-path tolerance gate: rows are the EXACT cumulative
+    // neighborhood curve (q40's closure, running-sum window); the two
+    // booleans are computed Spark-side (deterministic HLL within ±5% of
+    // exact for the N(t) curve and the total harmonic mass) and pinned to
+    // literal TRUE here — a sketch regression past the committed
+    // tolerance breaks the value hash loudly.
+    "q46_hyperball" -> q(
+      """, dfe2 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj),
+        |r(s, v, h) AS (
+        |  SELECT v, v, 0 FROM ents
+        |  UNION
+        |  SELECT rr.s, a.dst, rr.h + 1 FROM r rr JOIN dfe2 a ON a.src = rr.v
+        |  WHERE rr.h < 64),
+        |d AS (SELECT s, v, min(h) AS h FROM r GROUP BY s, v),
+        |e AS (SELECT h, count(*) AS c FROM d GROUP BY h)
+        |SELECT CAST(h AS BIGINT) AS hops,
+        |       CAST(sum(c) OVER (ORDER BY h) AS BIGINT) AS pairs_cum,
+        |       TRUE AS curve_ok, TRUE AS harm_ok
+        |FROM e ORDER BY hops""".stripMargin),
+
     // q43 — local clustering coefficient: q25's triangle CTE + symarcs
     // degrees, lcc = 2T/(d(d-1)) rounded like the Spark side, 0 below
     // degree 2.

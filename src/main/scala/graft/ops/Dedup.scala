@@ -21,13 +21,17 @@ object Dedup {
     * caller-memoized shingle table fed straight in): re-persisting an
     * equivalent plan is a no-op that still walks the cache manager and
     * logs "Asked to cache already cached data" on every call.
+    * @return (frame, owned) — owned=true iff THIS call persisted it, i.e.
+    *         the operator must release it before returning (a long-lived
+    *         serving JVM otherwise accumulates one cached frame per call;
+    *         OpsSpec pins the flat-cache-count invariant).
     */
-  private def eagerPersist(df: DataFrame): DataFrame =
-    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) df
+  private def eagerPersist(df: DataFrame): (DataFrame, Boolean) =
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) (df, false)
     else {
       val d = df.persist()
       d.count() // eager: parallel branch stages must hit the cache, not the DAG
-      d
+      (d, true)
     }
 
   /** Exact dedup by content hash: one keeper (min key) per text group.
@@ -115,12 +119,17 @@ object Dedup {
             md5(concat_ws("|", (0 until rowsPerBand).map(r =>
               element_at(col("sig"), b * rowsPerBand + r + 1).cast("string")): _*)).as("bh"))): _*)).as("bb"))
       .select(col("key"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val banded = eagerPersist(banded0)
+    val (banded, owned) = eagerPersist(banded0)
     val l = banded.select(col("band"), col("bh"), col("key").as("a"))
     val r = banded.select(col("band"), col("bh"), col("key").as("b"))
-    l.join(r, Seq("band", "bh"))
+    val out = l.join(r, Seq("band", "bh"))
       .where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("shared_bands"))
+      // Pin the (small) pair output and release the banded working cache —
+      // the localCheckpoint-then-unpersist discipline (CC/Triangles).
+      .localCheckpoint(true)
+    if (owned) banded.unpersist(false)
+    out
   }
 
   /** 32-bit SimHash from the md5 of each token: token bits = first 8 hex
@@ -302,17 +311,22 @@ object Dedup {
     // The shingle table feeds the sizes aggregate and BOTH sides of the
     // self-join. Materialized EAGERLY: a lazy cache inside one action lets
     // the parallel branch stages race and recompute the chain 4x.
-    val sh = eagerPersist(shUncached)
+    val (sh, owned) = eagerPersist(shUncached)
     val sizes = sh.groupBy("key").agg(count(lit(1)).as("n"))
     val l = sh.select(col("sh"), col("key").as("a"))
     val r = sh.select(col("sh"), col("key").as("b"))
     val inter = l.join(r, Seq("sh")).where(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    inter
+    val out = inter
       .join(sizes.select(col("key").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("key").as("b"), col("n").as("nb")), "b")
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .where(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+      // Pin the thresholded pair output, release the maxDocFreq-path
+      // shingle cache (the caller-memoized shAll is NOT ours to release).
+      .localCheckpoint(true)
+    if (owned) sh.unpersist(false)
+    out
   }
 }

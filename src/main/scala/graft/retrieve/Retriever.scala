@@ -291,6 +291,89 @@ object Retriever {
     merged.withColumn("rank", row_number().over(w)).where(col("rank") <= topK)
   }
 
+  /** The deterministic stand-in for the reference's `reason_step` LLM call
+    * (the only non-data-processing piece of the IRCoT loop): a follow-up
+    * "thought" grounded in the current top passage — the original query
+    * plus the leading tokens of the best-ranked doc. Injectable via
+    * [[retrieveIrcot]]'s `reason` parameter for real LLM wiring.
+    */
+  def reasonStub(query: String, topDocs: Seq[String], thoughts: Seq[String]): String =
+    query + " " + topDocs.headOption.getOrElse("")
+      .split("\\s+").take(6).mkString(" ")
+
+  /** IRCoT retrieval loop (reference HippoRAG.py:509-547 retrieve_ircot):
+    * alternate retrieval and one-step reasoning, merging per-doc scores by
+    * MAX across steps. Step 0 retrieves the raw queries; each later step
+    * derives a per-query `thought` from the CURRENT merged ranking's top
+    * docs (reference: reason_step over ranked_docs[:num_to_retrieve]),
+    * stops that query early when the thought contains "So the answer is:"
+    * (the reference's termination marker), retrieves the still-active
+    * thoughts as a new batch, and max-merges ([[ircotMerge]] semantics,
+    * HippoRAG.py:540-542).
+    *
+    * Batch shape: all queries advance together — each step is ONE batched
+    * [[retrieve]] over the active thoughts (the reference loops queries
+    * one at a time; per-query python loops become qid-keyed joins, same
+    * argument as [[retrieve]] itself). The thought construction collects
+    * only the per-query top-doc strings (≤ Q × topDocsForReason rows) —
+    * the LLM/reason boundary is inherently driver-side text.
+    *
+    * @param reason (query, rankedTopDocs, priorThoughts) → thought; the
+    *               default [[reasonStub]] is deterministic (U5's analog of
+    *               the U1/U3 deterministic extraction/embedding stubs).
+    * @return (qid, chunk_id, content, score, rank ≤ retrievalTopK) — the
+    *         max-merged ranking across all executed steps
+    */
+  def retrieveIrcot(store: GraphStore, queries: Seq[(Long, String)], maxSteps: Int,
+                    reason: (String, Seq[String], Seq[String]) => String = reasonStub,
+                    topDocsForReason: Int = 5,
+                    cfg: RetrieveConfig = RetrieveConfig()): DataFrame = {
+    require(maxSteps >= 1, s"IRCoT needs at least one step (got $maxSteps)")
+    val queryText = queries.toMap
+    var merged = retrieve(store, queries, cfg)
+      .select("qid", "chunk_id", "content", "score")
+      .localCheckpoint(true)
+    var active = queries.map(_._1)
+    val thoughts = scala.collection.mutable.Map.empty[Long, List[String]]
+      .withDefaultValue(Nil)
+    var step = 1
+    while (step < maxSteps && active.nonEmpty) {
+      // Current top docs per active query, rank order (ties → chunk_id asc
+      // like every readout here; the reference's dict order is undefined).
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("chunk_id").asc)
+      val top = merged.where(col("qid").isin(active: _*))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= topDocsForReason)
+        .select("qid", "rn", "content").collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[String]("content")).toSeq
+        }
+      val stepThoughts = active.map { q =>
+        val t = reason(queryText(q), top.getOrElse(q, Seq.empty), thoughts(q))
+        thoughts(q) = thoughts(q) :+ t
+        q -> t
+      }
+      // Reference: a thought carrying the answer marker stops BEFORE the
+      // extra retrieval (HippoRAG.py:536-538).
+      val (_, continue) = stepThoughts.partition(_._2.contains("So the answer is:"))
+      active = continue.map(_._1)
+      if (continue.nonEmpty) {
+        val stepResult = retrieve(store, continue, cfg)
+          .select("qid", "chunk_id", "content", "score")
+        merged = merged.unionByName(stepResult)
+          .groupBy("qid", "chunk_id")
+          .agg(max("score").as("score"), first("content").as("content"))
+          .select("qid", "chunk_id", "content", "score")
+          .localCheckpoint(true)
+      }
+      step += 1
+    }
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("chunk_id").asc)
+    merged.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= cfg.retrievalTopK)
+  }
+
   /** J7 — fuzzy rerank match-back (reference rerank.py: the LLM filter
     * returns fact STRINGS, and difflib maps each back onto the candidate
     * it came from). Per returned row: the candidate with the highest

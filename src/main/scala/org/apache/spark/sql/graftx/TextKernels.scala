@@ -268,11 +268,17 @@ object TextKernels {
   }
 
   /** lower(regexp_extract(url, "://([^/:?#]*)", 1)) — the authority host
-    * of a URL, ASCII-lowercased; empty when no scheme separator exists.
+    * of a URL, lowercased; empty when no scheme separator exists.
     * One byte scan: ':' '/' '?' '#' are ASCII, so UTF-8 continuation
     * bytes can never terminate the host early (multi-byte-safe, same
-    * argument as [[stripTags]]). Sits on the crawl-ingest hot path
-    * (host-level link-graph rollups over url columns).
+    * argument as [[stripTags]]). A pure-ASCII host (the overwhelmingly
+    * common case — registered domains are punycoded) lowers in the same
+    * scan; a host span containing ANY non-ASCII byte falls back to
+    * [[UTF8String.toLowerCase]], the exact lowering Spark's `lower()`
+    * applies, so 'http://É.example/' folds like the documented regex
+    * equivalence says (CoreSpec property alphabet includes uppercase
+    * non-ASCII). Sits on the crawl-ingest hot path (host-level
+    * link-graph rollups over url columns).
     */
   def urlHost(s: UTF8String): UTF8String = {
     val in = s.getBytes
@@ -285,7 +291,13 @@ object TextKernels {
     }
     if (at < 0) return UTF8String.EMPTY_UTF8
     var j = at
-    while (j < n && in(j) != '/' && in(j) != ':' && in(j) != '?' && in(j) != '#') j += 1
+    var ascii = true
+    while (j < n && in(j) != '/' && in(j) != ':' && in(j) != '?' && in(j) != '#') {
+      if (in(j) < 0) ascii = false // UTF-8 multi-byte lead/continuation
+      j += 1
+    }
+    if (!ascii)
+      return UTF8String.fromBytes(in, at, j - at).toLowerCase
     val out = new Array[Byte](j - at)
     var k = at
     var o = 0

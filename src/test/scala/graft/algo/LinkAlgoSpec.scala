@@ -159,6 +159,42 @@ class LinkAlgoSpec extends SparkSpec {
     assert(got == (0L until n.toLong).map(v => v -> v).toMap)
   }
 
+  test("SCC: directed cycle longer than any historical round cap is ONE component") {
+    // Round-4 bug class: the backward pivot BFS was capped at 100 rounds
+    // and silently assigned a partially-reached set as a complete SCC —
+    // a 110-cycle split into several components. BFS now runs to frontier
+    // exhaustion, so the cycle must come back as exactly one SCC.
+    val n = 110
+    val arcs = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("src", "dst")
+    val got = Scc.run(arcs, (0L until n.toLong).toDF("vid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L), "150-cycle must be one SCC")
+  }
+
+  test("SCC: descending chain of 48 two-cycles drains in few outer rounds (multi-pivot)") {
+    // One color class per outer round; single-pivot draining would need
+    // 48 outer rounds (> the maxOuter=8 passed here → loud require).
+    // Multi-pivot retires ≥ pivotsPerClass vertices per round: 96
+    // vertices / 16 pivots = 6 rounds, inside the tightened cap.
+    val k = 48
+    // 2-cycle i: vertices (2i, 2i+1); ids DESCEND along the chain so the
+    // global max reaches everything → one color class.
+    val cyc = (0 until k).flatMap { i =>
+      val a = (2 * (k - 1 - i)).toLong; val b = a + 1
+      Seq((a, b), (b, a))
+    }
+    val bridges = (0 until k - 1).map { i =>
+      ((2 * (k - 1 - i)).toLong, (2 * (k - 2 - i)).toLong)
+    }
+    val arcs = (cyc ++ bridges).toDF("src", "dst")
+    val got = Scc.run(arcs, (0L until (2L * k)).toDF("vid"), maxOuter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0 until k).flatMap { i =>
+      val lo = (2 * i).toLong; Seq(lo -> lo, (lo + 1) -> lo)
+    }.toMap
+    assert(got == expect)
+  }
+
   test("SCC handles string vertex ids") {
     val arcs = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
     val got = Scc.run(arcs, Seq("a", "b", "c").toDF("vid"))

@@ -115,12 +115,13 @@ class CoreSpec extends SparkSpec {
   test("urlHost kernel == lower(regexp_extract '://([^/:?#]*)') (property)") {
     // adversarial: no scheme, empty host, ports, userinfo-less forms,
     // query/fragment cut points, uppercase, unicode, multiple '://'
-    val alphabet = ":/?#.abAB中é9-"
+    val alphabet = ":/?#.abAB中éÉΩß9-"
     val rnd = new scala.util.Random(17)
     val strs = Seq(
       "", "x", "://", "a://", "https://", "https://Example.COM/p/1",
       "http://h0.example.org:8080/x?y#z", "ftp://A.B.C?q", "s://H#f",
       "no-scheme/path", "https://中文.example/p", "a://b://c",
+      "http://É.example/", "https://ΩMEGA.Example.COM/x", "s://ÀÈÌ#f",
       "https://h12.example.org/p/34") ++
       (0 until 700).map(_ => (0 until rnd.nextInt(30))
         .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)

@@ -302,6 +302,35 @@ class OpsSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 100))
   }
 
+  test("serving loop hygiene: repeated Dedup/Triangles calls leave no working caches behind") {
+    // Round-4 verdict #4: Triangles leaked its two working caches
+    // (und/tris) per call and Dedup its banded/shingle eager-persists —
+    // one cached frame per call accumulating in a long-lived serving JVM.
+    // Each call may retain AT MOST its pinned (localCheckpointed) result;
+    // the O(E)/O(wedges) working frames must be unpersisted before return.
+    val arcs = Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L), (0L, 2L), (2L, 0L))
+      .toDF("src", "dst")
+    val verts = (0L to 2L).toDF("vid")
+    val sigs = Dedup.minHashSignatures(docs, "text", "doc_id",
+      numHashes = 16, shingleWidth = 3)
+    val shingles = Dedup.shingleRows(docs, "text", "doc_id", 3)
+    def nCached = spark.sparkContext.getPersistentRDDs.size
+    val calls = 4
+    val before = nCached
+    (1 to calls).foreach { _ =>
+      graft.algo.Triangles.run(arcs, verts)._1.count()
+      Dedup.minHashCandidates(sigs, bands = 4, rowsPerBand = 4).count()
+      Dedup.ngramJaccardPairsFrom(shingles, threshold = 0.3, maxDocFreq = 1000).count()
+    }
+    val growth = nCached - before
+    // 3 pinned results per loop iteration are allowed to linger until the
+    // ContextCleaner GCs them; the pre-fix leak added 4 MORE per iteration
+    // (und + tris + banded + sh), which this bound rejects.
+    assert(growth <= 3 * calls,
+      s"working caches leaked: persistent-RDD growth $growth > ${3 * calls} " +
+      "(pinned results only) after repeated serving calls")
+  }
+
   test("text metrics: langId and quality behave on known inputs") {
     val out = TextMetrics.langId(docs, "text")
       .select("doc_id", "pred_lang").collect()

@@ -334,6 +334,69 @@ class LifecycleSpec extends SparkSpec {
     assert(keys.exists(_.startsWith("entity-")) && keys.exists(_.startsWith("chunk-")))
   }
 
+  test("IRCoT loop: merged ranking == max-score merge of per-step retrievals (U5)") {
+    // Reference retrieve_ircot (HippoRAG.py:509-547): step 0 retrieves the
+    // raw queries; each later step derives a thought from the current top
+    // docs and retrieves it; per-doc scores merge by MAX across steps.
+    // Oracle here: run the two steps by hand with the SAME deterministic
+    // reason fn and max-merge the collected scores driver-side.
+    val store = freshStore()
+    Indexer.index(store, (docs ++ extraDocs).toDF("content"))
+    val queries = Seq(0L -> "where is the Louvre", 1L -> "who founded Acme")
+    val cfg = Retriever.RetrieveConfig(retrievalTopK = 6)
+
+    def scores(qs: Seq[(Long, String)]): Map[(Long, String), Double] =
+      Retriever.retrieve(store, qs, cfg).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[String]("chunk_id")) ->
+          r.getAs[Double]("score")).toMap
+
+    // --- hand-run the loop (maxSteps = 2, default reasonStub) ---
+    val step0 = scores(queries)
+    val top0 = Retriever.retrieve(store, queries, cfg).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("content")).toSeq
+      }
+    val thoughts = queries.map { case (q, text) =>
+      q -> Retriever.reasonStub(text, top0(q).take(5), Nil)
+    }
+    val step1 = scores(thoughts)
+    val expect = (step0.keySet ++ step1.keySet).map { k =>
+      k -> math.max(step0.getOrElse(k, Double.NegativeInfinity),
+        step1.getOrElse(k, Double.NegativeInfinity))
+    }.toMap
+    val expectRanked = expect.groupBy(_._1._1).flatMap { case (q, m) =>
+      m.toSeq.map { case ((_, c), s) => (c, s) }
+        .sortBy { case (c, s) => (-s, c) }.take(cfg.retrievalTopK)
+        .zipWithIndex.map { case ((c, s), i) => (q, c) -> (i + 1, s) }
+    }
+
+    val got = Retriever.retrieveIrcot(store, queries, maxSteps = 2, cfg = cfg)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("chunk_id")) ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    assert(got.keySet == expectRanked.keySet,
+      s"IRCoT doc set mismatch: ${got.keySet} vs ${expectRanked.keySet}")
+    got.foreach { case (k, (rank, s)) =>
+      assert(rank == expectRanked(k)._1, s"rank mismatch at $k")
+      assert(math.abs(s - expectRanked(k)._2) < 1e-12, s"score mismatch at $k")
+    }
+
+    // --- early termination: a thought carrying the reference's answer
+    // marker stops that query BEFORE its extra retrieval, so a 5-step
+    // loop with an always-terminating reason fn == plain single retrieve.
+    val done = Retriever.retrieveIrcot(store, queries, maxSteps = 5,
+        reason = (_, _, _) => "So the answer is: Paris", cfg = cfg)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("chunk_id")) ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    val single = Retriever.retrieve(store, queries, cfg).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[String]("chunk_id")) ->
+        (r.getAs[Int]("rank"), r.getAs[Double]("score"))).toMap
+    assert(done == single,
+      "answer-marker thoughts must stop the loop before any re-retrieval")
+  }
+
   test("per-row invariant: text byte-identical per url through the pipeline") {
     val pages = graft.ingest.PageSynth.pagesDF(spark, 64)
     val chunks = Extract.chunks(pages, "text", Seq("url"))
