@@ -85,11 +85,25 @@ object ConnectedComponents {
     * @param vertices (vid) every vertex incl. isolated ones
     * @param preContract run [[localContract]] before the star loop
     *        (identical result — spec-pinned; off only for cross-checks)
+    * @param localFinishMax if the DISTINCT contracted pair set has at most
+    *        this many pairs, finish with ONE driver-side union-find
+    *        instead of the star loop (the standard small-remainder phase
+    *        of two-phase CC). The collect is hard-bounded (default 2²⁰
+    *        pairs ≈ 16 MB of longs — the same gated-small-side pattern as
+    *        PprShard.csrMaxVertices and the dedup exact-vs-LSH gates) and
+    *        the count that gates it is the probe the loop needs anyway.
+    *        Rationale: the star loop costs 5-6 full exchanges of the pair
+    *        set PER ROUND times O(log V) rounds — pure driver-barrier
+    *        floor when the remainder would fit in one task. At 100 TB the
+    *        contracted remainder stays above any such gate and the star
+    *        loop runs; 0 disables the gate (spec cross-checks).
     * @return (vid, component) with component = min vid reachable, and the
-    *         number of star rounds (one round = large-star + small-star)
+    *         number of star rounds (one round = large-star + small-star;
+    *         0 when the gate finished the job)
     */
   def run(arcs: DataFrame, vertices: DataFrame, checkpointEvery: Int = 5,
-          maxIter: Int = 200, preContract: Boolean = true): (DataFrame, Int) = {
+          maxIter: Int = 200, preContract: Boolean = true,
+          localFinishMax: Long = 1L << 20): (DataFrame, Int) = {
     val spark = arcs.sparkSession
     // Re-root a persisted frame as a LogicalRDD leaf: each star round
     // references the previous edge set FOUR times (sym union ×2, then
@@ -112,6 +126,59 @@ object ConnectedComponents {
     // order-insensitive and exact over the DISTINCT pair set.
     val p0 = cur.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
     var nEdges = p0.getLong(0)
+    // Driver union-find finish on a small contracted remainder. Only for
+    // vid types whose natural JVM order matches SQL least/greatest (the
+    // root choice IS the published component id here, unlike
+    // localContract's arbitrary-root star): long/int/string cover every
+    // graph in the engine; anything else falls through to the star loop.
+    val vidType = cur.schema("a").dataType
+    val naturallyOrdered = vidType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (nEdges > 0L && nEdges <= localFinishMax && naturallyOrdered) {
+      def less(x: Any, y: Any): Boolean = (x, y) match {
+        case (p: Long, q: Long)     => p < q
+        case (p: Int, q: Int)       => p < q
+        case (p: String, q: String) => p < q
+        case _ => throw new IllegalStateException("unreachable: gated above")
+      }
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      val seen = new java.util.LinkedHashSet[Any]()
+      cur.collect().foreach { row =>
+        val a = row.get(0); val b = row.get(1)
+        seen.add(a); seen.add(b)
+        val ra = find(a); val rb = find(b)
+        // Union by MIN root: the surviving root is the component minimum,
+        // the same canonical id the star fixpoint converges to.
+        if (ra != rb) {
+          if (less(rb, ra)) parent.put(ra, rb) else parent.put(rb, ra)
+        }
+      }
+      val lblRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      seen.forEach(v => lblRows.add(org.apache.spark.sql.Row(v, find(v))))
+      val lblSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vid", vidType),
+        org.apache.spark.sql.types.StructField("root", vidType)))
+      val lbl = spark.createDataFrame(lblRows, lblSchema)
+      val labels = vertices.select("vid")
+        .join(broadcast(lbl), Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("root"), col("vid")).as("component"))
+      val pinned = labels.localCheckpoint(true)
+      cur.unpersist(false)
+      return (pinned, 0)
+    }
     var lastChecksum = if (p0.isNullAt(1)) 0L else p0.getLong(1)
     var edges = reRoot(cur)
     var iter = 0

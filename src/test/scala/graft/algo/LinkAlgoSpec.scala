@@ -410,9 +410,34 @@ class LinkAlgoSpec extends SparkSpec {
       randomArcs(200, 150, 99L).toDF("src", "dst", "weight"))
     val vertices = (0L until 200L).toDF("vid")
     def labels(pre: Boolean) =
-      ConnectedComponents.run(arcs, vertices, preContract = pre)._1
+      // gate disabled: this spec compares the DISTRIBUTED path's two
+      // pre-contraction variants (the default gate would short-circuit
+      // both to the same driver union-find and prove nothing).
+      ConnectedComponents.run(arcs, vertices, preContract = pre,
+          localFinishMax = 0L)._1
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels(true) == labels(false))
+  }
+
+  test("CC gated driver finish == star loop, reports 0 rounds, handles strings") {
+    val arcs = graft.graph.Adjacency.symmetrize(
+      randomArcs(300, 260, 41L).toDF("src", "dst", "weight"))
+    val vertices = (0L until 300L).toDF("vid")
+    val (gatedL, gatedRounds) = ConnectedComponents.run(arcs, vertices)
+    val (starL, starRounds) = ConnectedComponents.run(arcs, vertices,
+      localFinishMax = 0L)
+    assert(gatedRounds == 0 && starRounds >= 1)
+    assert(gatedL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      starL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // String vids: natural JVM order == SQL least/greatest order, so the
+    // gate's canonical min-component id matches the star fixpoint's.
+    val sArcs = Seq(("e-b", "e-a"), ("e-c", "e-b"), ("e-y", "e-x"))
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }.toDF("src", "dst")
+    val sVerts = Seq("e-a", "e-b", "e-c", "e-x", "e-y", "e-lone").toDF("vid")
+    val sGate = ConnectedComponents.run(sArcs, sVerts)._1
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sGate == Map("e-a" -> "e-a", "e-b" -> "e-a", "e-c" -> "e-a",
+      "e-x" -> "e-x", "e-y" -> "e-x", "e-lone" -> "e-lone"))
   }
 
   test("CC local contraction: pair set shrinks to <= one pair per vertex per partition") {
