@@ -330,9 +330,14 @@ object Bench {
           .select(col("text").as("content"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nDocs = docs.count()
-        val head = docs.limit((nDocs * 99 / 100).toInt)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val tail = docs.exceptAll(head)
+        // localCheckpoint BOTH splits: limit/exceptAll re-evaluate per
+        // action otherwise (a lazy `tail` re-ran the full exceptAll
+        // shuffle inside every delta-index action, charging O(corpus)
+        // work to the O(Δ) path — measured 2× the REBUILD wall), and an
+        // unpinned limit() isn't even guaranteed to pick the same rows
+        // across actions.
+        val head = docs.limit((nDocs * 99 / 100).toInt).localCheckpoint(true)
+        val tail = docs.exceptAll(head).localCheckpoint(true)
         val storeDir = Files.createTempDirectory("graft_bench_store").toString
         val store = new GraphStore(spark1, storeDir)
         val (_, tIndex) = timed(Indexer.index(store, docs))
@@ -349,7 +354,7 @@ object Bench {
         val (_, tDelta) = timed(Indexer.index(deltaStore, tail))
         val rebuildDir = Files.createTempDirectory("graft_bench_rebuild").toString
         val (_, tRebuild) = timed(Indexer.index(new GraphStore(spark1, rebuildDir), docs))
-        docs.unpersist(false); head.unpersist(false)
+        docs.unpersist(false)
         System.err.println(f"[bench] serve: index ${tIndex}%.1fs cold ${tCold}%.2fs " +
           f"warm ${median(warms)}%.2fs; delta +1%% ${tDelta}%.2fs vs rebuild ${tRebuild}%.2fs")
         Seq("serve_index" -> tIndex, "retrieve_cold" -> tCold,

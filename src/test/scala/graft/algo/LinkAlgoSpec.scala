@@ -72,12 +72,20 @@ class LinkAlgoSpec extends SparkSpec {
       val n = 60
       val arcs = randomArcs(n, 300, seed)
       val (oh, oa) = denseHits(n, arcs, sweeps = 20)
-      val got = Hits.run(arcs.toDF("src", "dst", "weight"),
-          (0L until n.toLong).toDF("vid"), sweeps = 20)
+      // Both execution paths against the same oracle, plus against each
+      // other to 1e-12 (round 5: the gated driver kernel is what small
+      // graphs run; localKernelMax = 0 forces the distributed loop).
+      def path(gate: Long) = Hits.run(arcs.toDF("src", "dst", "weight"),
+          (0L until n.toLong).toDF("vid"), sweeps = 20, localKernelMax = gate)
         .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val got = path(1L << 20)
+      val dist = path(0L)
       for (v <- 0 until n) {
         assert(math.abs(got(v.toLong)._1 - oh(v)) < 1e-9, s"hub vid=$v")
         assert(math.abs(got(v.toLong)._2 - oa(v)) < 1e-9, s"auth vid=$v")
+        assert(math.abs(got(v.toLong)._1 - dist(v.toLong)._1) < 1e-12 &&
+          math.abs(got(v.toLong)._2 - dist(v.toLong)._2) < 1e-12,
+          s"driver kernel vs distributed vid=$v")
       }
     }
 
