@@ -141,10 +141,15 @@ class LinkAlgoSpec extends SparkSpec {
       val n = 80
       val arcs = randomArcs(n, 160, seed).map { case (u, v, _) => (u, v) }
       val oracle = bruteScc(n, arcs)
-      val got = Scc.run(arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      for (v <- 0 until n)
-        assert(got(v.toLong) == oracle(v), s"scc vid=$v")
+      // Both execution paths (round 5: the gated driver Tarjan is what
+      // small graphs run; localFinishMax = 0 forces trim/color/pivot).
+      for (gate <- Seq(1L << 20, 0L)) {
+        val got = Scc.run(arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"),
+            localFinishMax = gate)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        for (v <- 0 until n)
+          assert(got(v.toLong) == oracle(v), s"scc vid=$v gate=$gate")
+      }
     }
   }
 
@@ -162,7 +167,7 @@ class LinkAlgoSpec extends SparkSpec {
   test("SCC: descending chain (adversarial coloring case) still converges") {
     val n = 12 // one color class per outer round — exercises maxOuter path
     val arcs = (1 until n).map(i => (i.toLong, (i - 1).toLong)).toDF("src", "dst")
-    val got = Scc.run(arcs, (0L until n.toLong).toDF("vid"))
+    val got = Scc.run(arcs, (0L until n.toLong).toDF("vid"), localFinishMax = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L until n.toLong).map(v => v -> v).toMap)
   }
@@ -174,7 +179,7 @@ class LinkAlgoSpec extends SparkSpec {
     // exhaustion, so the cycle must come back as exactly one SCC.
     val n = 110
     val arcs = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("src", "dst")
-    val got = Scc.run(arcs, (0L until n.toLong).toDF("vid"))
+    val got = Scc.run(arcs, (0L until n.toLong).toDF("vid"), localFinishMax = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == n && got.values.forall(_ == 0L), "150-cycle must be one SCC")
   }
@@ -195,7 +200,8 @@ class LinkAlgoSpec extends SparkSpec {
       ((2 * (k - 1 - i)).toLong, (2 * (k - 2 - i)).toLong)
     }
     val arcs = (cyc ++ bridges).toDF("src", "dst")
-    val got = Scc.run(arcs, (0L until (2L * k)).toDF("vid"), maxOuter = 8)
+    val got = Scc.run(arcs, (0L until (2L * k)).toDF("vid"), maxOuter = 8,
+      localFinishMax = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expect = (0 until k).flatMap { i =>
       val lo = (2 * i).toLong; Seq(lo -> lo, (lo + 1) -> lo)
@@ -203,11 +209,13 @@ class LinkAlgoSpec extends SparkSpec {
     assert(got == expect)
   }
 
-  test("SCC handles string vertex ids") {
+  test("SCC handles string vertex ids (both paths)") {
     val arcs = Seq(("a", "b"), ("b", "a"), ("b", "c")).toDF("src", "dst")
-    val got = Scc.run(arcs, Seq("a", "b", "c").toDF("vid"))
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c"))
+    for (gate <- Seq(1L << 20, 0L)) {
+      val got = Scc.run(arcs, Seq("a", "b", "c").toDF("vid"), localFinishMax = gate)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(got == Map("a" -> "a", "b" -> "a", "c" -> "c"), s"gate=$gate")
+    }
   }
 
   test("bow-tie classification: core/in/out/other on a handcrafted web") {
