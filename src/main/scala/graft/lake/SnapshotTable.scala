@@ -196,6 +196,11 @@ class SnapshotTable(val spark: SparkSession, val root: String,
       val (dir, n) = writeSegment(a, "data", next, keepEmpty = false)
       if (n > 0L) { entries = entries :+ Entry(dir, "data", Seq.empty); appended = n }
     }
+    // Both segments came back empty: the delta is a no-op — keep the
+    // current snapshot instead of minting an identical one (snapshot ids
+    // stay meaningful as "state changed here", and serving caches keyed
+    // by snapshot ids don't invalidate for nothing).
+    if (removed == 0L && appended == 0L) return next - 1
     // Exact when the parent count was exact and the tombstone is empty;
     // -1 ("unknown without a scan") otherwise — lineage keeps the delta
     // counts either way, and nothing downstream needs the total.

@@ -28,6 +28,17 @@ import graft.graph.GraphBuild
   */
 object Indexer {
 
+  // Phase laps to stderr when GRAFT_INDEX_LAPS=1 (perf forensics only).
+  private val laps = sys.env.get("GRAFT_INDEX_LAPS").contains("1")
+  private def lap[A](label: String)(f: => A): A =
+    if (!laps) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[indexer] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
   case class SynonymyConfig(
       topK: Int = 2047,          // config_utils.py:160-163
       threshold: Double = 0.8,   // config_utils.py:172-175
@@ -90,7 +101,15 @@ object Indexer {
       .dropDuplicates("chunk_id")
     val existing = store.currentChunks
     val hadChunks = !store.chunks.isEmpty
-    val newChunks = incoming.join(existing.select("chunk_id"), Seq("chunk_id"), "left_anti")
+    val newChunks0 = incoming.join(existing.select("chunk_id"), Seq("chunk_id"), "left_anti")
+    // Incremental path: PIN the delta-sized new-chunk set. Every family
+    // delta below references it, and a lazy anti-join would re-derive the
+    // full-corpus chunk hashing + anti-join once PER ACTION — O(N) compute
+    // smeared over the O(Δ) path (measured: the +1% batch spent more wall
+    // re-deriving this plan than on all its own work). A fresh store keeps
+    // it lazy: its "delta" is the whole corpus, and the rebuild path reads
+    // the committed snapshot instead.
+    val newChunks = if (hadChunks) newChunks0.localCheckpoint(true) else newChunks0
     // O(Δ) I/O: only the new chunks hit disk (append segment). The one
     // full rewrite left: upgrading a pre-metadata store's schema in place
     // (appending 3-col segments onto a 2-col snapshot would null-pad the
@@ -98,21 +117,24 @@ object Indexer {
     val schemaUpgrade = hadChunks &&
       !store.chunks.read().columns.contains("metadata")
     if (!hadChunks || schemaUpgrade)
-      store.chunks.commit(existing.unionByName(newChunks), "index")
-    else store.chunks.commitAppend(newChunks, "index")
+      lap("chunks full commit")(store.chunks.commit(existing.unionByName(newChunks), "index"))
+    else lap("chunks append")(store.chunks.commitAppend(newChunks, "index"))
 
     // I1: extract only for new chunks; keep prior triples verbatim
     // (append segment — chunk ids are content hashes, disjoint from the
     // stored set by the anti-join above).
-    val newTriples = extractor(newChunks)
+    val newTriples0 = extractor(newChunks)
+    // Same pinning argument: the delta path derives entities/facts/edges
+    // from these rows several times over.
+    val newTriples = if (hadChunks) newTriples0.localCheckpoint(true) else newTriples0
     if (store.triples.isEmpty)
-      store.triples.commit(newTriples, "index")
-    else store.triples.commitAppend(newTriples, "index")
+      lap("triples full commit")(store.triples.commit(newTriples, "index"))
+    else lap("triples append")(store.triples.commitAppend(newTriples, "index"))
 
     // I2: delta maintenance needs the per-family edge tables from a prior
     // commit; a fresh (or pre-family-format) store derives from scratch.
     if (hadChunks && !store.factEdges.isEmpty)
-      incrementalRebuild(store, newChunks.select("chunk_id"), syn)
+      incrementalRebuild(store, newChunks, newTriples, syn)
     else rebuild(store, syn)
   }
 
@@ -244,18 +266,35 @@ object Indexer {
     * + rewritten, passage rows append (disjoint by new chunk), synonymy
     * rewrites only the queries that gained a τ-accepted candidate.
     */
-  private def incrementalRebuild(store: GraphStore, newChunkIds: DataFrame,
+  /** @param newChunks  this batch's chunk rows (chunk_id, content, …),
+    *                    PINNED by index() — delta-sized
+    * @param newTriples this batch's extraction output, PINNED by index()
+    *                   (== the rows just appended to the triples table)
+    */
+  private def incrementalRebuild(store: GraphStore, newChunks: DataFrame,
+                                 newTriples: DataFrame,
                                  syn: SynonymyConfig): IndexStats = {
     val chunksNow = store.chunks.read()
-    val triplesNow = store.triples.read()
-    val newTriples = triplesNow.join(newChunkIds, Seq("chunk_id"), "left_semi")
+    val newChunkIds = newChunks.select("chunk_id")
     val chunkEntsNew = Extract.chunkEntities(newTriples)
-    val ents = Extract.entities(Extract.chunkEntities(triplesNow))
+    // O(Δ) COMPUTE, not just I/O (round 5): entities/facts/chunk rows are
+    // derived from the NEW batch's pinned frames only — never from a
+    // stored-table semi-join (a full-corpus scan per referencing action).
+    // Sound because every prior commit synced the embedding store for
+    // every id it introduced (index: full or delta sync; delete: retain +
+    // full sync) — an id missing from the store can only come from the
+    // new batch, so upsert candidates from the delta find exactly the
+    // same missing set the full derivation did. Before this, a +1% batch
+    // paid full-corpus distinct+hash passes per family and benched SLOWER
+    // than a from-scratch rebuild.
+    val entsNew = Extract.entities(chunkEntsNew)
+    val newChunkRows = newChunks
 
     // Which entity ids are NEW this batch (before the embedding upsert).
     val oldEntityIds = store.entityEmb.readOrEmpty(store.embSchema).select("hash_id")
-    val entityE = syncEmbeddings(store, chunksNow, ents, triplesNow, retain = false)
-    val newEntityIds = ents.select(col("entity_id").as("hash_id"))
+    val entityE = lap("delta syncEmbeddings")(
+      syncEmbeddings(store, newChunkRows, entsNew, newTriples, retain = false))
+    val newEntityIds = entsNew.select(col("entity_id").as("hash_id"))
       .join(oldEntityIds, Seq("hash_id"), "left_anti")
 
     // Fact edges: counts over chunk-distinct triples are distributive
@@ -268,44 +307,70 @@ object Indexer {
       .unionByName(newFact)
       .groupBy("src", "dst").agg(sum("weight").as("weight"))
       .withColumn("etype", lit(GraphBuild.Fact))
-    store.factEdges.commitDelta(Some(factUpdated), Some(factChangedKeys),
-      Seq("src", "dst"), "index-delta")
+    lap("delta factEdges commit")(
+      store.factEdges.commitDelta(Some(factUpdated), Some(factChangedKeys),
+        Seq("src", "dst"), "index-delta"))
 
     // Passage edges: (chunk → entity) rows are disjoint by (new) chunk —
     // a pure append segment.
     val passNew = GraphBuild.passageEdges(chunkEntsNew)
-    store.passageEdges.commitAppend(passNew, "index-delta")
+    lap("delta passageEdges append")(
+      store.passageEdges.commitAppend(passNew, "index-delta"))
 
     // Synonymy: stored top-cap lists ∪ delta KNNs, re-capped — but only
-    // the CHANGED queries' lists hit disk.
+    // the CHANGED queries' lists hit disk. Gated on the NEW-ENTITY count:
+    // a batch that introduces no new entity phrase cannot move any capped
+    // list (both delta KNNs are new-keyed), so the whole family — two
+    // KNN-plan write jobs — is skipped, not run-to-empty (the common
+    // steady-state ingest case: new documents, known vocabulary).
     val storedSyn = store.synEdges.read()
-    val sd = deltaSynonymy(storedSyn, entityE, newEntityIds, syn)
-    store.synEdges.commitDelta(Some(sd.changed), Some(sd.changedSrcs),
-      Seq("src"), "index-delta")
+    val nNewEntities = newEntityIds.count()
+    val synDeltaFrames: Option[SynDelta] =
+      if (nNewEntities == 0L) None
+      else Some(lap("deltaSynonymy")(
+        deltaSynonymy(storedSyn, entityE, newEntityIds, syn)))
+    synDeltaFrames.foreach { sd =>
+      lap("delta synEdges commit")(
+        store.synEdges.commitDelta(Some(sd.changed), Some(sd.changedSrcs),
+          Seq("src"), "index-delta"))
+    }
 
     // Merged edges: exactly the keys some family delta touched.
-    val synOldPairs = storedSyn
-      .join(sd.changedSrcs, Seq("src"), "left_semi").select("src", "dst")
-    val changedKeys = factChangedKeys.unionAll(passNew.select("src", "dst"))
-      .unionAll(synOldPairs).unionAll(sd.changed.select("src", "dst"))
+    val synKeyParts = synDeltaFrames.map { sd =>
+      storedSyn.join(sd.changedSrcs, Seq("src"), "left_semi").select("src", "dst")
+        .unionAll(sd.changed.select("src", "dst"))
+    }
+    val changedKeys = synKeyParts
+      .foldLeft(factChangedKeys.unionAll(passNew.select("src", "dst")))(_ unionAll _)
       .distinct().persist()
-    changedKeys.count()
-    commitMergedDelta(store, changedKeys, "index-delta")
+    lap("changedKeys")(changedKeys.count())
+    lap("commitMergedDelta")(commitMergedDelta(store, changedKeys, "index-delta"))
     changedKeys.unpersist(false)
 
     // Vertices: new entities + new chunks append (keys are content
     // hashes — new by construction, so no dedup pass is needed).
     val newVerts = GraphBuild.vertices(
-      ents.join(newEntityIds.select(col("hash_id").as("entity_id")),
+      entsNew.join(newEntityIds.select(col("hash_id").as("entity_id")),
         Seq("entity_id"), "left_semi"),
-      chunksNow.join(newChunkIds, Seq("chunk_id"), "left_semi"))
-    store.vertices.commitAppend(newVerts, "index-delta")
+      newChunkRows)
+    lap("delta vertices append")(store.vertices.commitAppend(newVerts, "index-delta"))
 
-    stats(store, ents, chunksNow)
+    // Entity total from the post-sync embedding store (== the distinct
+    // entity set — the sync invariant above), not a full re-extraction.
+    lap("delta stats")(IndexStats(
+      totalChunks = chunksNow.count(),
+      entities = entityE.count(),
+      edges = store.edges.read().count(),
+      vertices = store.vertices.read().count()))
   }
 
   /** Embedding-store sync shared by both rebuild paths: upsert missing
     * ids (I1); `retain` additionally drops dead ids (delete path, I3).
+    * The frames are CANDIDATE sources, not necessarily full tables: the
+    * incremental path passes the new batch's chunks/entities/triples only
+    * (every possibly-missing id lives there — see incrementalRebuild);
+    * retain=true callers must pass the full live tables, since retention
+    * tombstones everything outside them.
     * @return the post-sync entity embedding table
     */
   private def syncEmbeddings(store: GraphStore, chunksNow: DataFrame,
