@@ -83,6 +83,7 @@ object SparkEntry {
     "q44_reciprocity" -> (Q.qReciprocity _),
     "q45_assortativity" -> (Q.qAssortativity _),
     "q46_hyperball" -> (Q.qHyperball _),
+    "q47_walks" -> (Q.qWalks _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

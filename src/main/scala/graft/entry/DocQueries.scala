@@ -666,6 +666,18 @@ object DocQueries {
       .orderBy("hops")
   }
 
+  /** q47 — deterministic random-walk corpus over the directed entity
+    * graph ([[graft.algo.Walks]]): 2 walks of length 8 per entity, one
+    * row per visited position. The md5 step rule is engine-portable, so
+    * the DuckDB oracle replays the IDENTICAL walks as a recursive CTE —
+    * a full value check of the walk kernel, not a shape check.
+    */
+  def qWalks(s: SparkSession, dir: String): DataFrame =
+    graft.algo.Walks.randomWalks(directedEntityArcs(s, dir),
+        entityVertices(s, dir), walkLen = 8, walksPerVertex = 2)
+      .select(col("start").as("start_id"), col("walk"), col("step"), col("vid"))
+      .orderBy("start_id", "walk", "step")
+
   /** k-core decomposition (coreness per entity) of the undirected entity
     * graph — distributed h-index iteration to fixpoint
     * ([[graft.algo.KCore]]); the oracle unrolls the same closed-form

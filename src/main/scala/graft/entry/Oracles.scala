@@ -766,6 +766,33 @@ dsh AS (
         |       TRUE AS curve_ok, TRUE AS harm_ok
         |FROM e ORDER BY hops""".stripMargin),
 
+    // q47 — deterministic random walks, replayed EXACTLY: same dst-sorted
+    // adjacency index, same first-8-md5-hex-digits step hash (the q15
+    // portable-md5 pattern), same mod-outdeg choice. Dead ends stop.
+    "q47_walks" -> q(
+      """, dfe3 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj),
+        |wadj AS (SELECT src, dst,
+        |                row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        |         FROM dfe3),
+        |wdeg AS (SELECT src, count(*) AS deg FROM wadj GROUP BY src),
+        |wk(start, walk, step, v) AS (
+        |  SELECT v, w.walk, CAST(0 AS BIGINT), v
+        |  FROM ents CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) w(walk)
+        |  UNION ALL
+        |  SELECT wk.start, wk.walk, wk.step + 1, a.dst
+        |  FROM wk
+        |  JOIN wdeg d ON d.src = wk.v
+        |  JOIN wadj a ON a.src = wk.v
+        |   AND a.idx = CAST(concat('0x', substr(md5(concat_ws('|', 'w', wk.start,
+        |         CAST(wk.walk AS VARCHAR), CAST(wk.step + 1 AS VARCHAR))), 1, 8)) AS BIGINT)
+        |       % d.deg
+        |  WHERE wk.step < 8)
+        |SELECT start AS start_id, walk, step, v AS vid
+        |FROM wk ORDER BY start_id, walk, step""".stripMargin),
+
     // q43 — local clustering coefficient: q25's triangle CTE + symarcs
     // degrees, lcc = 2T/(d(d-1)) rounded like the Spark side, 0 below
     // degree 2.

@@ -218,6 +218,52 @@ class LinkAlgoSpec extends SparkSpec {
     }
   }
 
+  test("random walks match the independent md5-replay oracle; dead ends stop") {
+    // Graph: 0→{1,2,3}, 1→{2}, 2→{0,3}, 3 dead end, 4 isolated.
+    val arcSeq = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (2L, 0L), (2L, 3L))
+    val n = 5
+    val walkLen = 6; val perVertex = 3
+    // Driver oracle sharing NO code with the engine: dst-sorted adjacency,
+    // first-8-md5-hex-digits of "w|start|walk|t" mod outdeg.
+    val adj = arcSeq.groupBy(_._1).map { case (s, as) => s -> as.map(_._2).sorted }
+    def h(start: Long, walk: Long, t: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"w|$start|$walk|$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expect = (for {
+      start <- 0L until n.toLong
+      walk <- 0L until perVertex.toLong
+    } yield {
+      var cur = start
+      var rows = List((start, walk, 0L, cur))
+      var t = 1
+      var dead = false
+      while (t <= walkLen && !dead) {
+        adj.get(cur) match {
+          case Some(nbrs) =>
+            cur = nbrs((h(start, walk, t) % nbrs.length).toInt)
+            rows ::= ((start, walk, t.toLong, cur))
+          case None => dead = true
+        }
+        t += 1
+      }
+      rows
+    }).flatten.toSet
+    val got = Walks.randomWalks(arcSeq.toDF("src", "dst"),
+        (0L until n.toLong).toDF("vid"), walkLen, perVertex)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+    // Determinism across partitionings.
+    val got2 = Walks.randomWalks(arcSeq.toDF("src", "dst").repartition(7),
+        (0L until n.toLong).toDF("vid"), walkLen, perVertex)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got2 == expect)
+  }
+
   test("bow-tie classification: core/in/out/other on a handcrafted web") {
     // core cycle 2↔3↔4 (2→3→4→2), in: 0→2, 1→0 (chain into core),
     // out: 4→5, 5→6; other: 7→8 (tendril pair off nothing), isolated 9.
