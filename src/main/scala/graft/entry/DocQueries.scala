@@ -666,6 +666,17 @@ object DocQueries {
       .orderBy("hops")
   }
 
+  /** q48 — BM25 lexical top-20 for a fixed query over the documents
+    * table ([[graft.ops.Bm25]]): Okapi/Lucene-idf scoring with FIXED-POINT
+    * micro score sums (exact integer addition — the oracle replays the
+    * identical arithmetic; a double sum would be fp-order-dependent).
+    */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bm25.search(documents(s, dir), "doc_id", "text",
+        query = "slow stream filter join", topK = 20)
+      .select(col("doc").as("doc_id"), col("score_micro"), col("rank"))
+      .orderBy("rank")
+
   /** q47 — deterministic random-walk corpus over the directed entity
     * graph ([[graft.algo.Walks]]): 2 walks of length 8 per entity, one
     * row per visited position. The md5 step rule is engine-portable, so

@@ -793,6 +793,36 @@ dsh AS (
         |SELECT start AS start_id, walk, step, v AS vid
         |FROM wk ORDER BY start_id, walk, step""".stripMargin),
 
+    // q48 — BM25 top-20 (k1=1.2, b=0.75, Lucene idf). Per-(doc,term)
+    // doubles are pure functions of identical integer stats (bitwise
+    // equal across engines); the per-doc sum is FIXED-POINT micros, so
+    // ordering and the hash gate are exact, not fp-order-lucky.
+    "q48_bm25" -> q(
+      """, btf AS (SELECT doc_id, tok AS term, count(*) AS tf
+        |          FROM dtoks GROUP BY doc_id, tok),
+        |bdl AS (SELECT doc_id, count(*) AS dl FROM dtoks GROUP BY doc_id),
+        |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+        |bg AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM docs) AS n,
+        |              (SELECT avg(dl) FROM bdl) AS avgdl),
+        |bidf AS (SELECT term, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf
+        |         FROM bdf CROSS JOIN bg),
+        |bq(term) AS (VALUES ('slow'), ('stream'), ('filter'), ('join')),
+        |bs AS (
+        |  SELECT t.doc_id,
+        |         CAST(round(i.idf * (t.tf * 2.2) /
+        |           (t.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl)) * 1e6) AS BIGINT)
+        |           AS sm
+        |  FROM btf t
+        |  JOIN bdl d ON d.doc_id = t.doc_id
+        |  JOIN bidf i ON i.term = t.term
+        |  JOIN bq ON bq.term = t.term
+        |  CROSS JOIN bg g),
+        |bsum AS (SELECT doc_id, sum(sm) AS score_micro FROM bs GROUP BY doc_id)
+        |SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro,
+        |       CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS INT)
+        |         AS rank
+        |FROM bsum ORDER BY score_micro DESC, doc_id ASC LIMIT 20""".stripMargin),
+
     // q43 — local clustering coefficient: q25's triangle CTE + symarcs
     // degrees, lcc = 2T/(d(d-1)) rounded like the Spark side, 0 below
     // degree 2.

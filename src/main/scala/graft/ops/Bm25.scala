@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 (Okapi, Lucene idf form) lexical scoring over a document table —
+  * the standard sparse-retrieval companion to the engine's dense/PPR
+  * paths (hybrid retrieval pairs exactly these two signals), and a
+  * corpus-statistics workload every training-data pipeline runs anyway
+  * (df/idf tables, length normalization).
+  *
+  *   idf(t)      = ln( (N − df + 0.5) / (df + 0.5) + 1 )
+  *   s(t, d)     = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  *   score(q, d) = Σ_{t ∈ distinct terms(q)} s(t, d)
+  *
+  * Determinism across engines: each s(t,d) is a pure function of
+  * identical integer statistics, so Spark and an oracle engine produce
+  * bitwise-equal doubles — but the per-document SUM is fp-order-
+  * dependent. [[search]] therefore sums FIXED-POINT micros
+  * (round(s·10⁶) as long): exact integer addition, order-independent,
+  * identical ranking everywhere (the documented trade: scores are
+  * micro-quantized).
+  *
+  * Scale shape: tokenize → two map-side-combinable groupBys (tf, dl) +
+  * one on term (df); N/avgdl are one-row aggregates broadcast back.
+  * Query scoring touches only the query terms' postings (an equi-join
+  * on term), never the whole index.
+  */
+object Bm25 {
+
+  /** Corpus norm shared with the rest of the engine (q01 semantics). */
+  private def norm(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(lower(c), "[^a-z0-9 ]", " "))
+
+  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(split(norm(col(textCol)), " +")).as("term"))
+      .where(col("term") =!= "")
+
+  /** Per-(doc, term) BM25 statistics and score. */
+  def termScores(docs: DataFrame, idCol: String, textCol: String,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val global = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dl.agg(avg("dl").as("avgdl")))
+    val idf = dfreq.crossJoin(broadcast(global))
+      .select(col("term"), col("df"),
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"))
+    // Parenthesization mirrors the oracle SQL exactly — every fp op on
+    // identical operands in the same order is bitwise-equal across
+    // engines.
+    tf.join(dl, "doc")
+      .join(idf, "term")
+      .crossJoin(broadcast(global.select("avgdl")))
+      .select(col("doc"), col("term"), col("tf"), col("dl"), col("df"), col("idf"),
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("score"))
+  }
+
+  /** Top-k documents for `query` by summed fixed-point term scores.
+    * @return (doc, score_micro, rank) — rank 1..topK, ties by doc asc
+    */
+  def search(docs: DataFrame, idCol: String, textCol: String, query: String,
+             topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = query.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .split(" +").filter(_.nonEmpty).distinct.toSeq.toDF("term")
+    val scored = termScores(docs, idCol, textCol, k1, b)
+      .join(broadcast(qTerms), "term")
+      .groupBy("doc")
+      .agg(sum(round(col("score") * 1e6).cast("long")).as("score_micro"))
+    // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    // heaps) — the rank window then runs over topK rows, not the corpus.
+    val top = scored.orderBy(col("score_micro").desc, col("doc").asc).limit(topK)
+    val w = Window.orderBy(col("score_micro").desc, col("doc").asc)
+    top.withColumn("rank", row_number().over(w))
+  }
+}

@@ -331,6 +331,36 @@ class OpsSpec extends SparkSpec {
       "(pinned results only) after repeated serving calls")
   }
 
+  test("BM25: scores match the closed form; fixed-point ranking deterministic") {
+    val corpus = Seq(
+      ("d1", "spark shuffles data fast"),
+      ("d2", "spark spark spark"),
+      ("d3", "ducks like data lakes and data ponds"),
+      ("d4", "nothing relevant here")).toDF("doc_id", "text")
+    val k1 = 1.2; val b = 0.75
+    // Hand oracle: N=4, dls = 4,3,7,3 → avgdl=17/4=4.25.
+    def idf(df: Int) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def s(tf: Long, dl: Long, df: Int) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / 4.25))
+    val got = Bm25.termScores(corpus, "doc_id", "text")
+      .collect().map(r => (r.getString(1), r.getString(0)) -> r.getDouble(6)).toMap
+    assert(math.abs(got(("spark", "d2")) - s(3, 3, 2)) < 1e-12)
+    assert(math.abs(got(("spark", "d1")) - s(1, 4, 2)) < 1e-12)
+    assert(math.abs(got(("data", "d3")) - s(2, 7, 2)) < 1e-12)
+    assert(math.abs(got(("ponds", "d3")) - s(1, 7, 1)) < 1e-12)
+    val top = Bm25.search(corpus, "doc_id", "text", "spark data", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // d2: spark tf=3; d1: spark tf=1 + data tf=1 (same stats → same
+    // per-term score); d3: data tf=2. d4 matches nothing.
+    val exp = Map(
+      "d2" -> math.round(s(3, 3, 2) * 1e6),
+      "d1" -> (math.round(s(1, 4, 2) * 1e6) + math.round(s(1, 4, 2) * 1e6)),
+      "d3" -> math.round(s(2, 7, 2) * 1e6))
+    assert(top.map(t => t._1 -> t._2).toMap == exp)
+    assert(top.sortBy(_._3).map(_._1).toSeq ==
+      exp.toSeq.sortBy { case (d, m) => (-m, d) }.map(_._1))
+  }
+
   test("text metrics: langId and quality behave on known inputs") {
     val out = TextMetrics.langId(docs, "text")
       .select("doc_id", "pred_lang").collect()
