@@ -812,4 +812,33 @@ object DocQueries {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
       .orderBy("hour", "event_type")
+
+  /** q49 — sessionization (30-minute inactivity gap): the canonical
+    * event-stream operator (its streaming twin is a
+    * `flatMapGroupsWithState` session window — StreamIngest's shape).
+    * One shuffle by user, two window passes: flag gap-starts via lag,
+    * running-sum the flags into a per-user session ordinal, then roll up
+    * per session. Integer/timestamp arithmetic only — exactly
+    * oracle-able.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    // ts is TIMESTAMP_NTZ; cast through timestamp (session tz = UTC) to
+    // truncated epoch seconds — the oracle floors epoch() to match.
+    def tsec(c: org.apache.spark.sql.Column) =
+      c.cast("timestamp").cast("long")
+    val flagged = events(s, dir).select(
+      col("user_id"), col("event_id"), col("ts"),
+      when(tsec(col("ts")) - lag(tsec(col("ts")), 1).over(w)
+        > 1800L || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)
+        .as("new_session"))
+    val sess = flagged.withColumn("session",
+      sum("new_session").over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    sess.groupBy("user_id", "session")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"),
+        (max(tsec(col("ts"))) - min(tsec(col("ts")))).as("duration_sec"))
+      .orderBy("user_id", "session")
+  }
 }

@@ -793,6 +793,26 @@ dsh AS (
         |SELECT start AS start_id, walk, step, v AS vid
         |FROM wk ORDER BY start_id, walk, step""".stripMargin),
 
+    // q49 — 30-minute-gap sessionization. floor(epoch()) matches Spark's
+    // timestamp→long truncation (bare CAST in DuckDB ROUNDS the fraction).
+    "q49_sessionize" -> q(
+      """, sev AS (SELECT user_id, event_id, ts,
+        |                 CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |          FROM events),
+        |sfl AS (SELECT user_id, event_id, ts, tsec,
+        |          CASE WHEN lag(tsec) OVER w IS NULL
+        |                 OR tsec - lag(tsec) OVER w > 1800 THEN 1 ELSE 0 END
+        |            AS new_session
+        |        FROM sev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sse AS (SELECT user_id, event_id, tsec,
+        |          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session
+        |        FROM sfl)
+        |SELECT user_id, CAST(session AS BIGINT) AS session,
+        |       count(*) AS n_events, min(event_id) AS first_event,
+        |       max(tsec) - min(tsec) AS duration_sec
+        |FROM sse GROUP BY user_id, session ORDER BY user_id, session""".stripMargin),
+
     // q48 — BM25 top-20 (k1=1.2, b=0.75, Lucene idf). Per-(doc,term)
     // doubles are pure functions of identical integer stats (bitwise
     // equal across engines); the per-doc sum is FIXED-POINT micros, so
