@@ -96,4 +96,15 @@ class PlanSpec extends SparkSpec {
     val plan = planOf(df)
     assert(!plan.contains("Exchange"), s"unexpected shuffle in generator:\n$plan")
   }
+
+  test("BM25 search: top-k via TakeOrdered heaps, query terms broadcast") {
+    import spark.implicits._
+    val docs = Seq(("d1", "spark sql"), ("d2", "more spark")).toDF("doc_id", "text")
+    val df = graft.ops.Bm25.search(docs, "doc_id", "text", "spark", topK = 5)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition heaps, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"query-term join side not broadcast:\n$plan")
+  }
 }
