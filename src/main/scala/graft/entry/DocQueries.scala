@@ -203,6 +203,19 @@ object DocQueries {
     memoPersist(s, s"shingles3:$dir")(
       Dedup.shingleRows(documents(s, dir), "text", "doc_id", w = 3))
 
+  /** q50 — corpus n-gram statistics: top-30 trigram shingles by document
+    * frequency (tokenizer/vocab-training prep — the "what phrases does the
+    * corpus repeat" sweep). Reads the memoized shingle table the dedup
+    * family already builds; TakeOrdered top-k, deterministic tie-break.
+    */
+  def qNgramStats(s: SparkSession, dir: String): DataFrame = {
+    val top = docShingles(s, dir)
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("sh").asc).limit(30)
+    val w = Window.orderBy(col("df").desc, col("sh").asc)
+    top.withColumn("rank", row_number().over(w)).orderBy("rank")
+  }
+
   def qMinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.minHashSignaturesFrom(docShingles(s, dir), numHashes = 16)
     Dedup.minHashCandidates(sigs, bands = 4, rowsPerBand = 4)

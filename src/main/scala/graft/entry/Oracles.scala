@@ -793,6 +793,14 @@ dsh AS (
         |SELECT start AS start_id, walk, step, v AS vid
         |FROM wk ORDER BY start_id, walk, step""".stripMargin),
 
+    // q50 — top-30 trigram shingles by document frequency (dsh is
+    // doc-distinct by construction, so count(*) == df).
+    "q50_ngram_stats" -> q(
+      """, ngd AS (SELECT sh, count(*) AS df FROM dsh GROUP BY sh)
+        |SELECT sh, df,
+        |       CAST(row_number() OVER (ORDER BY df DESC, sh ASC) AS INT) AS rank
+        |FROM ngd ORDER BY df DESC, sh ASC LIMIT 30""".stripMargin),
+
     // q49 — 30-minute-gap sessionization. floor(epoch()) matches Spark's
     // timestamp→long truncation (bare CAST in DuckDB ROUNDS the fraction).
     "q49_sessionize" -> q(
