@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{PprConfig, PprShard, PprStats}
+import graft.algo.{Ppr, PprConfig, PprShard, PprStats}
 import graft.bench.{FmaProbe, StreamProbe}
 import graft.graph.Adjacency
 
@@ -28,9 +28,11 @@ import graft.graph.Adjacency
   *    DRAM roof). No real cluster exists in this sandbox; two parallelism
   *    levels over fixed input are the documented N→4N proxy.
   *
-  * Results: ONE JSON line on stdout, ALSO written to BENCH.json at the
-  * repo root (sbt prefixes stdout, which broke the round-1 parse), and a
-  * human-readable BENCH.md.
+  * Results: a COMPACT single JSON line on stdout (headline totals +
+  * per-phase medians — the round-5 full line outgrew the driver's tail
+  * capture and BENCH_r05 parsed null), the FULL artifact (rep arrays,
+  * per-run ceilings, shuffle-PPR pairs, multi-sf curve) in BENCH.json at
+  * the repo root, and a human-readable BENCH.md.
   */
 object Bench {
 
@@ -275,8 +277,14 @@ object Bench {
     val scaleNv = sys.env.getOrElse("GRAFT_BENCH_NV", "65536").toInt
     val scaleSamples = sys.env.getOrElse("GRAFT_BENCH_SAMPLES", "6500000").toLong
     val scaleQueries = sys.env.getOrElse("GRAFT_BENCH_QUERIES", "2048").toInt
-    val scaleReps = sys.env.getOrElse("GRAFT_BENCH_REPS", "9").toInt
+    // Round 6: 5 full-protocol runs × 3 reps per level (was 3 × 3) — the
+    // committed artifact must answer the raw-0.8 question by itself
+    // (round-5 verdict ask #1), and median-of-5-runs is the statistic
+    // that survives one bad steal window per round.
+    val scaleBlocks = sys.env.getOrElse("GRAFT_BENCH_BLOCKS", "5").toInt
+    val scaleReps = sys.env.getOrElse("GRAFT_BENCH_REPS", (3 * scaleBlocks).toString).toInt
     val scaleBatch = sys.env.getOrElse("GRAFT_BENCH_BATCH", "32").toInt
+    val spprQueries = sys.env.getOrElse("GRAFT_BENCH_SHUFFLE_PPR_Q", "4").toInt
     val skipHeadline = sys.env.get("GRAFT_BENCH_SKIP_HEADLINE").contains("1")
 
     // ---- Part 1: headline queries at the driver-given parallelism.
@@ -310,6 +318,36 @@ object Bench {
           name -> t
         }
       }
+
+    // ---- Part 1a2: multi-sf curve for the top-10 headline queries
+    // (round-5 verdict ask #7): the same query at sf0.001/0.01/0.1 in one
+    // table separates driver-floor queries (flat walls across sfs) from
+    // data-bound ones (walls tracking data size) — regressions like the
+    // round-5 q25 swing become self-diagnosing. Cache warms are timed per
+    // sf and reported separately, exactly like the headline's cache_build.
+    val multiSfTop = Seq("q15_minhash_lsh", "q18_cosine_topk",
+      "q24_connected_components", "q25_triangles", "q27_ppr", "q38_scc",
+      "q39_bowtie", "q40_neighborhood", "q47_walks", "q48_bm25")
+    val multiSfDirs = sys.env.getOrElse("GRAFT_BENCH_MULTISF",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01")
+      .split(",").toSeq.filter(_.nonEmpty)
+    val multiSf: Seq[(String, Seq[(String, Double)])] =
+      if (skipHeadline) Seq.empty
+      else multiSfDirs.map { d =>
+        val (_, tCache) = timed(graft.entry.DocQueries.warmSharedCaches(spark1, d))
+        d -> (("cache_build" -> tCache) +: multiSfTop.map { name =>
+          val (_, t) = timed {
+            try SparkEntry.queries(name)(spark1, d).write.mode("overwrite")
+              .format("noop").save()
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name@$d failed: ${e.getMessage}"); ()
+            }
+          }
+          name -> t
+        })
+      }
+    if (multiSf.nonEmpty)
+      System.err.println("[bench] multi-sf curve done: " + multiSf.map(_._1).mkString(", "))
 
     // ---- Part 1b: the reference's ACTUAL serving workload (retrieve =
     // seeds -> PPR -> readout over an indexed store) plus the incremental
@@ -369,8 +407,24 @@ object Bench {
     val ccNv = sys.env.getOrElse("GRAFT_BENCH_CC_NV", "2097152").toLong
     val ccSamples = sys.env.getOrElse("GRAFT_BENCH_CC_SAMPLES", "8000000").toLong
     val nCcArcs = writeScalingCcArcs(spark1, ccNv, ccSamples, scaleDir)
+    // Encoded long-vid symmetrized arcs for the SHUFFLE-strategy PPR phase
+    // (round-5 verdict ask #6): written ONCE so both levels and all blocks
+    // run the identical files — the dictionary is deterministic, but one
+    // write makes identity a fact rather than a property.
+    val spprNv = {
+      val sraw = spark1.read.parquet(s"$scaleDir/arcs")
+      val ssym = Adjacency.symmetrize(sraw)
+      val sdict = graft.core.Ids.dictionary(
+        ssym.select(col("src").as("key"))
+          .unionAll(ssym.select(col("dst").as("key"))), "key")
+      val n = sdict.count()
+      Adjacency.encode(ssym, sdict)
+        .write.mode("overwrite").parquet(s"$scaleDir/sarcs")
+      n
+    }
     System.err.println(s"[bench] scaling arc table: $nArcsRaw directed arcs; " +
-      s"CC table: $nCcArcs pairs over $ccNv vertices")
+      s"CC table: $nCcArcs pairs over $ccNv vertices; encoded shuffle-PPR " +
+      s"arcs over $spprNv vertices")
     spark1.stop()
 
     // INTERLEAVED block schedule (round-2 ask #7): the 8-thread side of
@@ -382,7 +436,7 @@ object Bench {
     // scaling CSR is a driver-side structure built from IDENTICAL input
     // files, so later blocks reuse one instance (kernel input identical
     // at every block — only the session's core count changes).
-    val blocksPerLevel = 3
+    val blocksPerLevel = scaleBlocks
     val repsPerBlock = math.max(1, (scaleReps + blocksPerLevel - 1) / blocksPerLevel)
     val buildReps = scala.collection.mutable.Map(
       8 -> Seq.empty[(Double, Double, Double)],
@@ -396,7 +450,10 @@ object Bench {
     // meaningful against the ceiling of the SAME weather window).
     case class RunRec(pprEffBest: Double, pprEffMedian: Double,
                       ccEff: Double, fma: Double, shuffle: Double,
-                      ppr8: Seq[Double], ppr32: Seq[Double])
+                      ppr8: Seq[Double], ppr32: Seq[Double],
+                      sppr8: Double, sppr32: Double) {
+      def spprEff: Double = (sppr8 / sppr32) / 4.0
+    }
     val runRecs = scala.collection.mutable.ArrayBuffer.empty[RunRec]
     // Shuffle ceiling probe: ONE full hash-shuffle (write + fetch + merge)
     // of `shuffleN` single-long rows through a noop sink, no compute — the
@@ -422,12 +479,34 @@ object Bench {
     }
     val shuffleW8s = scala.collection.mutable.ArrayBuffer.empty[Double]
     val shuffleW32s = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // SHUFFLE-strategy PPR (graft.algo.Ppr, the 100-TB graph ≫ executor
+    // memory regime): same Zipf graph, same damping/tolerance as the
+    // broadcast kernel, Q small because every iteration is a full
+    // arcs×scores shuffle join. Expected shuffle-ceiling-bound — that is
+    // the honest number the round-5 verdict asked for (ask #6); the
+    // equality probe (ShufflePprProbe, 6.7e-18 vs the kernel) already
+    // pins correctness, this pins SCALING.
+    def shufflePprWall(s: SparkSession): Double = {
+      import s.implicits._
+      val arcs = s.read.parquet(s"$scaleDir/sarcs")
+      val seeds = (0 until spprQueries)
+        .map(q => (q.toLong, (q.toLong * 31 + 1) % spprNv, 1.0))
+        .toDF("qid", "vid", "weight")
+      val cfg = PprConfig(damping = 0.5, tol = 1e-6 / spprNv)
+      val t0 = System.nanoTime()
+      val (scores, _) = Ppr.run(s, arcs, spprNv, seeds, cfg)
+      scores.write.format("noop").mode("overwrite").save()
+      val w = (System.nanoTime() - t0) / 1e9
+      scores.unpersist()
+      w
+    }
     var csrShared: PprShard.LocalCsr = null
     var nVShared = 0L
     var statsShared: PprStats = null
     for (block <- 0 until blocksPerLevel) {
       val blockWalls = scala.collection.mutable.Map.empty[Int, Seq[Double]]
       val blockCc = scala.collection.mutable.Map.empty[Int, Double]
+      val blockSppr = scala.collection.mutable.Map.empty[Int, Double]
       for (cores <- Seq(8, 32)) {
         val s = session(cores, cores)
         // Build phases run in EVERY block (not once per level): a one-shot
@@ -445,8 +524,10 @@ object Bench {
         if (statsShared == null) statsShared = stats
         pprReps(cores) = pprReps(cores) ++ walls
         blockWalls(cores) = walls
+        blockSppr(cores) = shufflePprWall(s)
         System.err.println(f"[bench] block $block local[$cores] " +
-          f"build/cc/graph: ${bw}%.1f/${cw}%.1f/${gw}%.1f, ppr reps: " +
+          f"build/cc/graph: ${bw}%.1f/${cw}%.1f/${gw}%.1f, " +
+          f"shuffle-ppr: ${blockSppr(cores)}%.1f, ppr reps: " +
           walls.map("%.2f".format(_)).mkString(" "))
         s.stop()
       }
@@ -462,10 +543,12 @@ object Bench {
         pprEffMedian = (median(blockWalls(8)) / median(blockWalls(32))) / 4.0,
         ccEff = (blockCc(8) / blockCc(32)) / 4.0,
         fma = fmaRun, shuffle = shuffleRun,
-        ppr8 = blockWalls(8), ppr32 = blockWalls(32))
+        ppr8 = blockWalls(8), ppr32 = blockWalls(32),
+        sppr8 = blockSppr(8), sppr32 = blockSppr(32))
       System.err.println(f"[bench] run $block: eff_ppr_best ${runRecs.last.pprEffBest}%.3f " +
         f"(fma ceiling ${fmaRun}%.3f -> normalized ${runRecs.last.pprEffBest / fmaRun}%.3f), " +
-        f"eff_cc ${runRecs.last.ccEff}%.3f (shuffle ceiling ${shuffleRun}%.3f)")
+        f"eff_cc ${runRecs.last.ccEff}%.3f, eff_shuffle_ppr ${runRecs.last.spprEff}%.3f " +
+        f"(shuffle ceiling ${shuffleRun}%.3f)")
     }
     def level(cores: Int): LevelResult = {
       val walls = pprReps(cores)
@@ -515,6 +598,10 @@ object Bench {
     val stream32 = StreamProbe.triad(32, 4 << 20, 6)
     val effPprMedianOfRuns = median(runRecs.map(_.pprEffBest).toSeq)
     val effPprVsFmaMedianOfRuns = median(runRecs.map(r => r.pprEffBest / r.fma).toSeq)
+    val spprEffMedianOfRuns = median(runRecs.map(_.spprEff).toSeq)
+    val sppr8Med = median(runRecs.map(_.sppr8).toSeq)
+    val sppr32Med = median(runRecs.map(_.sppr32).toSeq)
+    val spprVsShuffleMedianOfRuns = median(runRecs.map(r => r.spprEff / r.shuffle).toSeq)
 
     def levelJson(r: LevelResult): String =
       s"""{"build_sec":${"%.2f".format(r.buildWall)},"cc_sec":${"%.2f".format(r.ccWall)},"graph_sec":${"%.2f".format(r.graphWall)},""" +
@@ -528,8 +615,13 @@ object Bench {
     val qJson = allTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = allTimes.map(_._2).sum
+    val multiSfJson = multiSf.map { case (d, ts) =>
+      s""""${d.split('/').last}":""" + ts.map { case (k, v) =>
+        s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
+      s""""multi_sf":$multiSfJson,""" +
       s""""scaling":{"input":{"pages":$scalePages,"vertices":${r8.nV},"arcs":${r8.nE},"queries":$scaleQueries,"batch":$scaleBatch},""" +
       s""""local8":${levelJson(r8)},"local32":${levelJson(r32)},""" +
       s""""efficiency_ppr":${"%.3f".format(effPpr)},"efficiency_build":${"%.3f".format(effBuild)},""" +
@@ -552,11 +644,19 @@ object Bench {
         s""""fma_ceiling":${"%.3f".format(r.fma)},""" +
         s""""shuffle_ceiling":${"%.3f".format(r.shuffle)},""" +
         s""""efficiency_ppr_vs_fma":${"%.3f".format(r.pprEffBest / r.fma)},""" +
+        s""""shuffle_ppr_sec_8":${"%.2f".format(r.sppr8)},""" +
+        s""""shuffle_ppr_sec_32":${"%.2f".format(r.sppr32)},""" +
+        s""""efficiency_shuffle_ppr":${"%.3f".format(r.spprEff)},""" +
+        s""""efficiency_shuffle_ppr_vs_shuffle":${"%.3f".format(r.spprEff / r.shuffle)},""" +
         s""""ppr_reps_8":[${r.ppr8.map("%.2f".format(_)).mkString(",")}],""" +
         s""""ppr_reps_32":[${r.ppr32.map("%.2f".format(_)).mkString(",")}]}"""
       }.mkString(""""runs":[""", ",", "],") +
       s""""efficiency_ppr_median_of_runs":${"%.3f".format(effPprMedianOfRuns)},""" +
       s""""efficiency_ppr_vs_fma_median_of_runs":${"%.3f".format(effPprVsFmaMedianOfRuns)},""" +
+      s""""shuffle_ppr":{"queries":$spprQueries,"sec_8":${"%.2f".format(sppr8Med)},""" +
+      s""""sec_32":${"%.2f".format(sppr32Med)},""" +
+      s""""efficiency_median_of_runs":${"%.3f".format(spprEffMedianOfRuns)},""" +
+      s""""vs_shuffle_ceiling_median_of_runs":${"%.3f".format(spprVsShuffleMedianOfRuns)}},""" +
       s""""hw_ceiling_8to32":${"%.3f".format(md5Eff)},""" +
       s""""shuffle_ceiling_8to32":${"%.3f".format(shuffleEff)},""" +
       s""""shuffle_rows_per_sec_32":${"%.0f".format(shuffleN / sw32)},""" +
@@ -565,20 +665,58 @@ object Bench {
       s""""stream_gbps_8":${"%.1f".format(stream8)},"stream_gbps_32":${"%.1f".format(stream32)},""" +
       s""""efficiency_ppr_vs_hw":${"%.3f".format(effPpr / md5Eff)},""" +
       s""""efficiency_ppr_vs_fma":${"%.3f".format(effPpr / fmaEff)}}}"""
-    // Repo-root BENCH.json is the parse-proof channel; the stdout line is
-    // prefixed by sbt's logger ("[info] ...") when run via runMain.
+    // Repo-root BENCH.json carries the FULL artifact (rep arrays, per-run
+    // ceilings, multi-sf curve). stdout gets a COMPACT line instead: the
+    // round-5 full line outgrew the driver's stdout tail window and
+    // BENCH_r05.json came back parsed:null (round-5 verdict ask #2) —
+    // headline totals + per-phase medians here, pointers for the rest.
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
-    println(json)
+    val compact =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir",""" +
+      s""""scaling":{"vertices":${r8.nV},"arcs":${r8.nE},"queries":$scaleQueries,"runs":${runRecs.length},""" +
+      s""""efficiency_ppr_median_of_runs":${"%.3f".format(effPprMedianOfRuns)},""" +
+      s""""efficiency_ppr_vs_fma_median_of_runs":${"%.3f".format(effPprVsFmaMedianOfRuns)},""" +
+      s""""fma_ceiling_8to32":${"%.3f".format(fmaEff)},""" +
+      s""""shuffle_ceiling_8to32":${"%.3f".format(shuffleEff)},""" +
+      s""""efficiency_cc":${"%.3f".format(effCc)},""" +
+      s""""efficiency_cc_vs_shuffle":${"%.3f".format(effCc / shuffleEff)},""" +
+      s""""efficiency_build":${"%.3f".format(effBuild)},""" +
+      s""""efficiency_shuffle_ppr":${"%.3f".format(spprEffMedianOfRuns)},""" +
+      s""""efficiency_shuffle_ppr_vs_shuffle":${"%.3f".format(spprVsShuffleMedianOfRuns)},""" +
+      s""""queries_per_sec_32":${"%.1f".format(r32.queriesPerSec)},""" +
+      s""""edges_per_sec_32":${"%.3e".format(r32.edgesPerSec)},""" +
+      s""""detail":"BENCH.json"}}"""
 
     // Assembled without stripMargin: generated table rows start with '|'.
     val headlineTable =
       if (allTimes.isEmpty) "(skipped)"
       else "| query | seconds |\n|---|---|\n" +
         allTimes.map { case (k, v) => s"| $k | ${"%.3f".format(v)} |" }.mkString("\n")
+    // Multi-sf curve: top-10 queries at every sf in one table (round-5 ask
+    // #7) — a wall that stays flat across sfs is scheduling floor, one that
+    // tracks data size is data-bound.
+    val sfLabel = sfDir.split('/').last
+    val multiSfTable =
+      if (multiSf.isEmpty) "(skipped)"
+      else {
+        val cols = multiSf.map(_._1.split('/').last) :+ s"$sfLabel (headline)"
+        val headlineMap = qTimes.toMap
+        val rows = ("cache_build" +: multiSfTop).map { name =>
+          val per = multiSf.map(_._2.toMap.get(name))
+          val hl = headlineMap.get(name)
+          s"| $name | " + (per :+ hl).map {
+            case Some(v) => "%.3f".format(v)
+            case None => "-"
+          }.mkString(" | ") + " |"
+        }
+        s"| query | ${cols.mkString(" | ")} |\n|---|" + cols.map(_ => "---|").mkString + "\n" +
+          rows.mkString("\n")
+      }
     def reps(r: LevelResult): String = r.pprWalls.map("%.2f".format(_)).mkString(" / ")
     val md =
       s"# BENCH — measured (this round)\n\n" +
       s"## Headline queries (local[$cpus], $sfDir)\n\n$headlineTable\n\n" +
+      s"## Multi-sf curve (top-10 queries, seconds per scale factor)\n\n$multiSfTable\n\n" +
       s"## Scaling protocol (north rule: efficiency >= 0.8 at N->4N)\n\n" +
       s"Fixed inputs, persisted once, identical files at both levels:\n" +
       s"- pages: $scalePages Common-Crawl-shaped rows ($scaleEntities-word Zipf vocabulary)\n" +
@@ -617,16 +755,30 @@ object Bench {
       s"### Per-run protocol results (each interleaved 8/32 block pair = one\n" +
       s"full-protocol run, with ITS OWN ceilings measured in the same weather\n" +
       s"window; arrays also in BENCH.json `scaling.runs`)\n\n" +
-      "| run | PPR eff (best-rep) | FMA ceiling | PPR/FMA | star-CC eff | shuffle ceiling | PPR reps 8 | PPR reps 32 |\n" +
-      "|---|---|---|---|---|---|---|---|\n" +
+      "| run | PPR eff (best-rep) | FMA ceiling | PPR/FMA | star-CC eff | shuffle-PPR eff | shuffle ceiling | PPR reps 8 | PPR reps 32 |\n" +
+      "|---|---|---|---|---|---|---|---|---|\n" +
       runRecs.zipWithIndex.map { case (r, i) =>
         s"| $i | ${"%.3f".format(r.pprEffBest)} | ${"%.3f".format(r.fma)} | " +
         s"${"%.3f".format(r.pprEffBest / r.fma)} | ${"%.3f".format(r.ccEff)} | " +
+        s"${"%.3f".format(r.spprEff)} | " +
         s"${"%.3f".format(r.shuffle)} | ${r.ppr8.map("%.2f".format(_)).mkString(" ")} | " +
         s"${r.ppr32.map("%.2f".format(_)).mkString(" ")} |"
       }.mkString("\n") + "\n\n" +
       s"**Median of runs: PPR ${"%.3f".format(effPprMedianOfRuns)} raw, " +
       s"${"%.3f".format(effPprVsFmaMedianOfRuns)} normalized to the same-run FMA ceiling.**\n\n" +
+      s"### Shuffle-strategy PPR (graph >> executor memory regime)\n\n" +
+      s"The fully distributed gather-scatter (graft.algo.Ppr — the strategy\n" +
+      s"selected when no executor can hold the CSR) on the same Zipf graph,\n" +
+      s"$spprQueries queries to the same 1e-6 tolerance, measured once per run at both\n" +
+      s"levels: ${"%.2f".format(sppr8Med)} s @8 -> ${"%.2f".format(sppr32Med)} s @32 (medians), raw efficiency\n" +
+      s"${"%.3f".format(spprEffMedianOfRuns)} median-of-runs = ${"%.3f".format(spprVsShuffleMedianOfRuns)} of the same-run noop-shuffle\n" +
+      s"ceiling. Every iteration is a full arcs-by-scores shuffle join, so the\n" +
+      s"phase is shuffle-bound by construction and scales like star-CC, not\n" +
+      s"like the compute-bound kernel — on a real N->4N executor scale-out\n" +
+      s"the shuffle bisection grows with the node count instead of sharing\n" +
+      s"one box's disk and memory bus (per-run pairs in BENCH.json\n" +
+      s"scaling.runs; cross-strategy equality pinned at 6.7e-18 by\n" +
+      s"graft.bench.ShufflePprProbe).\n\n" +
       s"## Hardware ceilings measured in the same run\n\n" +
       s"| probe | what it bounds | 8->32 efficiency / value |\n|---|---|---|\n" +
       s"| md5 burn (int ALU, no shared state) | integer core scaling | ${"%.3f".format(md5Eff)} |\n" +
@@ -665,5 +817,7 @@ object Bench {
       s"vertex-major broadcast CSR (PprCsr); many queries over a\n" +
       s"broadcastable graph -> query-sharded (PprShard, measured here).\n"
     Files.writeString(Paths.get("BENCH.md"), md)
+    // LAST stdout write: the driver's round artifact is a tail capture.
+    println(compact)
   }
 }

@@ -89,9 +89,15 @@ object ConnectedComponents {
     *        this many pairs, finish with ONE driver-side union-find
     *        instead of the star loop (the standard small-remainder phase
     *        of two-phase CC). The collect is hard-bounded (default 2²⁰
-    *        pairs ≈ 16 MB of longs — the same gated-small-side pattern as
+    *        pairs — the same gated-small-side pattern as
     *        PprShard.csrMaxVertices and the dedup exact-vs-LSH gates) and
     *        the count that gates it is the probe the loop needs anyway.
+    *        The gate ALSO bounds the ESTIMATED COLLECTED BYTES at
+    *        [[DriverGate.defaultMaxBytes]] (128 MB): a pair count that is
+    *        fine for longs (~64 MB of boxed Rows) is hundreds of MB for
+    *        ~40-char string entity ids, so string-vid graphs fall through
+    *        to the star loop earlier (round-5 advice; same single probe
+    *        action either way).
     *        Rationale: the star loop costs 5-6 full exchanges of the pair
     *        set PER ROUND times O(log V) rounds — pure driver-barrier
     *        floor when the remainder would fit in one task. At 100 TB the
@@ -123,22 +129,19 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // bit_xor, not sum: ANSI mode overflow-checks long sums; xor is
-    // order-insensitive and exact over the DISTINCT pair set.
-    val p0 = cur.agg(count(lit(1)), expr("bit_xor(xxhash64(a, b))")).first()
-    var nEdges = p0.getLong(0)
+    // order-insensitive and exact over the DISTINCT pair set. The same
+    // single action also estimates collected bytes for the driver gate.
+    val p0 = DriverGate.pairProbe(cur, "a", "b")
+    var nEdges = p0.rows
     // Driver union-find finish on a small contracted remainder. Only for
     // vid types whose natural JVM order matches SQL least/greatest (the
     // root choice IS the published component id here, unlike
     // localContract's arbitrary-root star): long/int/string cover every
     // graph in the engine; anything else falls through to the star loop.
     val vidType = cur.schema("a").dataType
-    val naturallyOrdered = vidType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.StringType => true
-      case _ => false
-    }
-    if (nEdges > 0L && nEdges <= localFinishMax && naturallyOrdered) {
+    if (nEdges > 0L && nEdges <= localFinishMax &&
+        p0.estBytes <= DriverGate.defaultMaxBytes &&
+        DriverGate.naturallyOrdered(vidType)) {
       def less(x: Any, y: Any): Boolean = (x, y) match {
         case (p: Long, q: Long)     => p < q
         case (p: Int, q: Int)       => p < q
@@ -179,7 +182,7 @@ object ConnectedComponents {
       cur.unpersist(false)
       return (pinned, 0)
     }
-    var lastChecksum = if (p0.isNullAt(1)) 0L else p0.getLong(1)
+    var lastChecksum = p0.checksum
     var edges = reRoot(cur)
     var iter = 0
     var converged = nEdges == 0L

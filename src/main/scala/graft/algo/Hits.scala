@@ -43,17 +43,26 @@ object Hits {
     *        runs). Driver == distributed to 1e-12 (spec-pinned) — both
     *        paths compute the same closed-form fixed-sweep update. 0
     *        disables the gate.
+    * @param sizeHint known |arcs| + |vertices|, if the caller already has
+    *        it — skips the gate's probe job entirely (round-5 advice: the
+    *        probe is an O(E) scan that buys nothing at web scale, where
+    *        the gate can never trigger). Negative = unknown, probe runs
+    *        (as ONE union-aggregate action, not two counts).
     * @return (vid, hub, authority), both L2-normalized at the last sweep
     */
   def run(arcs: DataFrame, vertices: DataFrame, sweeps: Int = 20,
-          checkpointEvery: Int = 5, localKernelMax: Long = 1L << 20): DataFrame = {
+          checkpointEvery: Int = 5, localKernelMax: Long = 1L << 20,
+          sizeHint: Long = -1L): DataFrame = {
     // sweeps = 0 would leave `auth` unbound (NPE at the final join) and has
     // no meaning anyway: HITS without a power step is just the init vector.
     require(sweeps >= 1, s"HITS needs at least one sweep (got $sweeps)")
     val spark = arcs.sparkSession
     if (localKernelMax > 0) {
-      val sizes = arcs.select(count(lit(1))).first().getLong(0) +
-        vertices.select(count(lit(1))).first().getLong(0)
+      val sizes =
+        if (sizeHint >= 0L) sizeHint
+        else arcs.select(count(lit(1)).as("c"))
+          .unionAll(vertices.select(count(lit(1)).as("c")))
+          .agg(sum(col("c"))).first().getLong(0)
       if (sizes <= localKernelMax) return runLocal(arcs, vertices, sweeps)
     }
     // LAZY re-root: normalized() references its input twice (norm branch
@@ -64,7 +73,11 @@ object Hits {
     def reRoot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     val a0 = arcs.select(col("src"), col("dst"), col("weight").cast("double").as("weight"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = vertices.select("vid").persist(StorageLevel.MEMORY_AND_DISK)
+    // distinct: the gated kernel deduplicates vids, and WITHOUT it here a
+    // duplicate vid row would double-count through every half-step's left
+    // join (inflated L2 norms) — the 1e-12 path-equality claim must hold
+    // for all inputs, not just pre-deduplicated ones (round-5 advice).
+    val verts = vertices.select("vid").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     verts.count() // materialize once; every half-step left-joins it
 
     // One shuffle half-step: scores (vid, c) gathered along arcs joined on

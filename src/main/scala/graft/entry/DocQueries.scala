@@ -834,24 +834,11 @@ object DocQueries {
     * per session. Integer/timestamp arithmetic only — exactly
     * oracle-able.
     */
-  def qSessionize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    // ts is TIMESTAMP_NTZ; cast through timestamp (session tz = UTC) to
-    // truncated epoch seconds — the oracle floors epoch() to match.
-    def tsec(c: org.apache.spark.sql.Column) =
-      c.cast("timestamp").cast("long")
-    val flagged = events(s, dir).select(
-      col("user_id"), col("event_id"), col("ts"),
-      when(tsec(col("ts")) - lag(tsec(col("ts")), 1).over(w)
-        > 1800L || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L)
-        .as("new_session"))
-    val sess = flagged.withColumn("session",
-      sum("new_session").over(w.rowsBetween(Window.unboundedPreceding,
-        Window.currentRow)))
-    sess.groupBy("user_id", "session")
-      .agg(count(lit(1)).as("n_events"),
-        min("event_id").as("first_event"),
-        (max(tsec(col("ts"))) - min(tsec(col("ts")))).as("duration_sec"))
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    // ts is TIMESTAMP_NTZ; Sessionize casts through timestamp (session tz
+    // = UTC) to truncated epoch seconds — the oracle floors epoch() to
+    // match. The streaming twin (StreamIngest.sessionizeStream) is
+    // spec-pinned equal on closed sessions.
+    graft.ops.Sessionize.sessions(events(s, dir), gapSec = 1800L)
       .orderBy("user_id", "session")
-  }
 }

@@ -168,39 +168,52 @@ class SnapshotTable(val spark: SparkSession, val root: String,
     if (parentEntries.isEmpty)
       return commit(append.getOrElse(throw new IllegalStateException(
         s"tombstone-only delta commit on empty table $root")), op)
-    if (parentEntries.size >= maxEntries) {
-      // Fold history: compact the would-be result into one segment.
-      val base = assemble(parentEntries)
-        .getOrElse(throw new IllegalStateException(s"empty manifest under $root"))
-      val afterDelete = deleteKeys match {
-        case Some(dk) => base.join(dk.select(keyCols.map(col): _*).distinct(),
-          keyCols, "left_anti")
-        case None => base
-      }
-      val full = append match {
-        case Some(a) => afterDelete.unionByName(a, allowMissingColumns = true)
-        case None => afterDelete
-      }
-      return commit(full, s"$op+compact")
-    }
+    // Write the delta segments FIRST (they are unreachable until a
+    // manifest references them), so both the no-op check and the
+    // compaction decision see the delta's ACTUAL row counts: an empty
+    // delta against a table at the entry cap must NOT mint a compaction
+    // snapshot of identical data (round-5 advice — "snapshot ids mean
+    // state changed here" holds unconditionally). The delta data role is
+    // "add", never colliding with commit()'s "data" segment for the same
+    // snapshot number (the compaction path below reads one while writing
+    // the other).
     val next = nextSnap
     var entries = parentEntries
     var removed = 0L
+    var tombDir: Option[String] = None
     deleteKeys.foreach { dk =>
       val (dir, n) = writeSegment(dk.select(keyCols.map(col): _*).distinct(),
         "tomb", next, keepEmpty = false)
-      if (n > 0L) { entries = entries :+ Entry(dir, "tombstone", keyCols); removed = n }
+      if (n > 0L) {
+        entries = entries :+ Entry(dir, "tombstone", keyCols)
+        removed = n; tombDir = Some(dir)
+      }
     }
     var appended = 0L
+    var addDir: Option[String] = None
     append.foreach { a =>
-      val (dir, n) = writeSegment(a, "data", next, keepEmpty = false)
-      if (n > 0L) { entries = entries :+ Entry(dir, "data", Seq.empty); appended = n }
+      val (dir, n) = writeSegment(a, "add", next, keepEmpty = false)
+      if (n > 0L) {
+        entries = entries :+ Entry(dir, "data", Seq.empty)
+        appended = n; addDir = Some(dir)
+      }
     }
     // Both segments came back empty: the delta is a no-op — keep the
     // current snapshot instead of minting an identical one (snapshot ids
     // stay meaningful as "state changed here", and serving caches keyed
     // by snapshot ids don't invalidate for nothing).
     if (removed == 0L && appended == 0L) return next - 1
+    if (parentEntries.size >= maxEntries) {
+      // Fold history: compact parent + this (non-empty) delta into one
+      // segment, reading the delta back from its just-written segments
+      // (no second evaluation of the caller's frames). The now-orphaned
+      // delta segments are dropped once the compaction marker is durable.
+      val folded = assemble(entries)
+        .getOrElse(throw new IllegalStateException(s"empty manifest under $root"))
+      val snap = commit(folded, s"$op+compact")
+      (tombDir ++ addDir).foreach(d => fs.delete(new Path(s"$root/$d"), true))
+      return snap
+    }
     // Exact when the parent count was exact and the tombstone is empty;
     // -1 ("unknown without a scan") otherwise — lineage keeps the delta
     // counts either way, and nothing downstream needs the total.

@@ -22,12 +22,46 @@ import org.apache.spark.sql.functions._
   * identical ranking everywhere (the documented trade: scores are
   * micro-quantized).
   *
+  * PORTABILITY ASSUMPTION (round-5 advice): the cross-engine
+  * bitwise-equality of per-term scores additionally rests on JVM
+  * `Math.log` and the oracle engine's libm `ln` rounding identically on
+  * the idf arguments. Both are faithful to ≤1 ulp but neither is
+  * REQUIRED to be correctly rounded, so a platform/libm change could in
+  * principle flip a round(score·10⁶) that lands within an ulp of a .5
+  * boundary. [[lnSentinelCheck]] pins the JVM side loudly: a handful of
+  * idf-shaped arguments with their expected `Math.log` bit patterns
+  * (recorded on the platform the committed q48 oracle hashes were
+  * produced on) are verified once per JVM at first use — a libm drift
+  * fails with a pointer to this paragraph instead of a flaky hash gate.
+  *
   * Scale shape: tokenize → two map-side-combinable groupBys (tf, dl) +
   * one on term (df); N/avgdl are one-row aggregates broadcast back.
   * Query scoring touches only the query terms' postings (an equi-join
   * on term), never the whole index.
   */
 object Bm25 {
+
+  /** (input bits, expected Math.log(input) bits) — recorded on the
+    * platform that produced the committed q48 oracle hashes. Inputs are
+    * idf-argument-shaped: (N − df + 0.5)/(df + 0.5) + 1 for small and
+    * large N/df.
+    */
+  private val lnSentinels: Seq[(Long, Long)] = Seq(
+    4609434218613702656L -> 4600975829957056588L, // ln(1.5)
+    4612436618365282987L -> 4605807000201899674L, // ln(7/3)
+    4634462035292891819L -> 4616431229070759139L, // ln(203/3)
+    4607182643974369418L -> 4542503153476683664L, // ln(1 + 5e-5…)
+    4644589290070521080L -> 4618229908389179895L) // ln(334.33…)
+
+  private lazy val lnSentinelCheck: Unit = lnSentinels.foreach { case (in, exp) =>
+    val got = java.lang.Double.doubleToRawLongBits(
+      math.log(java.lang.Double.longBitsToDouble(in)))
+    require(got == exp,
+      s"Math.log sentinel mismatch (got bits $got, expected $exp for input bits $in): " +
+      "this platform's libm rounds ln differently from the one the committed " +
+      "BM25 oracle hashes were produced on — re-derive the q48 oracle on this " +
+      "platform (see the portability note in graft.ops.Bm25's scaladoc)")
+  }
 
   /** Corpus norm shared with the rest of the engine (q01 semantics). */
   private def norm(c: org.apache.spark.sql.Column) =
@@ -41,6 +75,7 @@ object Bm25 {
   /** Per-(doc, term) BM25 statistics and score. */
   def termScores(docs: DataFrame, idCol: String, textCol: String,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    lnSentinelCheck
     val toks = tokens(docs, idCol, textCol)
     val tf = toks.groupBy("doc", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("doc").agg(count(lit(1)).as("dl"))

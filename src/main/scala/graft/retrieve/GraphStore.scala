@@ -144,6 +144,17 @@ class GraphStore(
     * Run it off the serving path — the O(Δ) commit design trades write
     * bytes for read-plan depth, and this is where the depth is reclaimed.
     * Time travel remains for the kept snapshots; current state unchanged.
+    *
+    * Isolation contract (round-5 ask #8): `keepSnapshots` counts
+    * PRE-MAINTENANCE snapshots — the compaction snapshot this pass itself
+    * mints does not consume a retention slot, so a reader pinned at any
+    * of the newest `keepSnapshots` snapshots that existed when maintain()
+    * started still reads its exact rows afterwards (its manifest marker
+    * survives, and segment GC never deletes a segment a surviving
+    * manifest references — LakeSpec pins this). Readers pinned OLDER than
+    * the retention window fail loudly at the next manifest load (marker
+    * gone); a DataFrame handle obtained before expiry fails at action
+    * time when its segments are gone — the documented lease-free trade.
     */
   def maintain(keepSnapshots: Int = 2): Unit = synchronized {
     // The cached serving graph's persisted frames would otherwise try to
@@ -152,8 +163,10 @@ class GraphStore(
     servingCache = None
     tables.foreach { t =>
       if (!t.isEmpty) {
-        if (t.manifest(t.currentSnapshot.get).entries.size > 1) t.compact()
-        t.expireSnapshots(keepSnapshots)
+        val compacted =
+          if (t.manifest(t.currentSnapshot.get).entries.size > 1) { t.compact(); true }
+          else false
+        t.expireSnapshots(keepSnapshots + (if (compacted) 1 else 0))
       }
     }
   }

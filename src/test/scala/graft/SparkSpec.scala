@@ -6,8 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for the whole test run. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // local[4,2]: maxFailures = 2, so an injected first-attempt task
+    // failure RETRIES instead of killing the job — RetrySpec pins that
+    // the deterministic pipelines (walks, MinHash) survive task retry
+    // bit-identically, the way speculative execution / lost executors
+    // exercise them at 100 TB. Genuine test failures still fail (one
+    // extra attempt), and every other suite is retry-oblivious.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

@@ -41,11 +41,18 @@ class GraphAlgoSpec extends SparkSpec {
 
     test(s"triangle count exact vs networkx [$name]") {
       val (g, arcs, vertices) = fixture(name)
-      val (perVertex, total) = Triangles.run(arcs, vertices)
-      assert(total == g.triTotal)
-      val got = perVertex.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      for (v <- 0 until g.nVertices)
-        assert(got(v.toLong) == g.triPerVertex(v), s"vid=$v")
+      // Both execution paths (round 6: gated driver kernel vs the
+      // distributed wedge join, localKernelMax = 0 forces the latter)
+      // against the same networkx golden — counts are integers, so the
+      // paths must agree EXACTLY.
+      for (gate <- Seq(1L << 20, 0L)) {
+        val (perVertex, total) = Triangles.run(arcs, vertices,
+          localKernelMax = gate)
+        assert(total == g.triTotal, s"total gate=$gate")
+        val got = perVertex.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        for (v <- 0 until g.nVertices)
+          assert(got(v.toLong) == g.triPerVertex(v), s"vid=$v gate=$gate")
+      }
     }
   }
 

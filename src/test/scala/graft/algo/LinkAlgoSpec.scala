@@ -105,6 +105,29 @@ class LinkAlgoSpec extends SparkSpec {
     }
   }
 
+  test("HITS: duplicate vertex rows skew neither path (round-5 advice)") {
+    // Pre-fix, the distributed path left `vertices` un-deduplicated while
+    // the driver kernel deduplicated — duplicate vids double-counted
+    // through every half-step's left join (inflated L2 norms) and the
+    // 1e-12 path equality held only for clean inputs.
+    val arcs = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 0L, 1.0), (0L, 2L, 0.5))
+      .toDF("src", "dst", "weight")
+    val dupVerts = Seq(0L, 1L, 2L, 1L, 2L, 2L).toDF("vid")
+    val cleanVerts = (0L to 2L).toDF("vid")
+    def runOn(verts: org.apache.spark.sql.DataFrame, gate: Long) =
+      Hits.run(arcs, verts, sweeps = 10, localKernelMax = gate)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = runOn(cleanVerts, 0L)
+    for (gate <- Seq(1L << 20, 0L)) {
+      val got = runOn(dupVerts, gate)
+      assert(got.size == 3, s"gate=$gate must emit one row per distinct vid")
+      for (v <- 0L to 2L) {
+        assert(math.abs(got(v)._1 - want(v)._1) < 1e-12, s"hub vid=$v gate=$gate")
+        assert(math.abs(got(v)._2 - want(v)._2) < 1e-12, s"auth vid=$v gate=$gate")
+      }
+    }
+  }
+
   test("HITS: hubs and authorities separate on a directed star") {
     // u0 points at v1..v4; nothing points back. u0 is the only hub;
     // v1..v4 are the only authorities.

@@ -69,6 +69,72 @@ class LakeSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "a")))
   }
 
+  test("no-op delta at the entry cap mints NO snapshot (round-5 advice)") {
+    // Pre-fix, the maxEntries compaction check ran before the no-op early
+    // return: an empty delta against a table at the cap minted a full
+    // compaction snapshot of identical data — violating "snapshot ids
+    // mean state changed here".
+    val t = fresh(maxEntries = 2)
+    t.commit(Seq((0L, "x")).toDF("id", "v"), "init")
+    t.commitAppend(Seq((1L, "y")).toDF("id", "v"), "a1")
+    val atCap = t.currentSnapshot.get
+    assert(t.manifest(atCap).entries.size >= 2, "fixture must sit at the cap")
+    val got = t.commitDelta(
+      append = Some(Seq.empty[(Long, String)].toDF("id", "v")),
+      deleteKeys = Some(Seq.empty[Tuple1[Long]].toDF("id")),
+      keyCols = Seq("id"), op = "noop")
+    assert(got == atCap, "no-op delta must return the unchanged current snapshot")
+    assert(t.snapshots.last == atCap && t.manifest(atCap).op == "a1",
+      "no compaction snapshot may be minted by a no-op delta")
+    assert(rows(t) == Set((0L, "x"), (1L, "y")))
+    // ...and a REAL delta at the cap still compacts, reading the delta
+    // back from its own just-written segments.
+    val s = t.commitDelta(
+      append = Some(Seq((2L, "z")).toDF("id", "v")),
+      deleteKeys = Some(Seq(Tuple1(0L)).toDF("id")),
+      keyCols = Seq("id"), op = "real")
+    assert(t.manifest(s).op == "real+compact" && t.manifest(s).entries.size == 1)
+    assert(rows(t) == Set((1L, "y"), (2L, "z")))
+    // the orphaned delta segments of THIS compaction were dropped (the
+    // earlier a1 append's segment stays — snapshot 2's manifest still
+    // references it until expireSnapshots runs)
+    val segNames = new java.io.File(s"${t.root}/seg").listFiles().map(_.getName).toSet
+    assert(!segNames.contains(s"$s-add") && !segNames.contains(s"$s-tomb"),
+      s"compaction must GC its own delta segments (left: $segNames)")
+  }
+
+  test("pinned reader survives delta + compaction + GC within the retention window") {
+    // Round-5 ask #8 (snapshot isolation under maintenance), at the layer
+    // where the property lives: pin snapshot N, commit a delta (N+1),
+    // compact (N+2), GC keeping 3 markers — readAt(N) and a DataFrame
+    // handle obtained BEFORE the maintenance still return N's exact rows,
+    // because segment GC never deletes a segment any surviving manifest
+    // references.
+    val t = fresh()
+    t.commit(Seq((0L, "pre")).toDF("id", "v"), "ancient") // will fall out of the window
+    val n = t.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "rewrite")
+    val pinned = t.readAt(n) // lazy handle, evaluated only after GC below
+    t.commitDelta(
+      append = Some(Seq((3L, "c")).toDF("id", "v")),
+      deleteKeys = Some(Seq(Tuple1(1L)).toDF("id")),
+      keyCols = Seq("id"), op = "delta")
+    t.compact()
+    t.expireSnapshots(keepLast = 3)
+    assert(!t.snapshots.contains(n - 1) &&
+      !new java.io.File(s"${t.root}/seg/${n - 1}-data").exists(),
+      "the out-of-window snapshot and its orphaned segment must actually be GC'd")
+    assert(rows(t, n) == Set((1L, "a"), (2L, "b")),
+      "a pinned snapshot inside the retention window must read its exact old rows")
+    assert(pinned.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")),
+      "a pre-maintenance DataFrame handle must still evaluate (its segments survive GC)")
+    assert(rows(t) == Set((2L, "b"), (3L, "c")))
+    // ...while a snapshot OUTSIDE the window fails loudly at manifest load.
+    t.commitAppend(Seq((4L, "d")).toDF("id", "v"), "a4")
+    t.expireSnapshots(keepLast = 1)
+    intercept[IllegalArgumentException](t.readAt(n))
+  }
+
   test("auto-compaction folds history past maxEntries; compact() resets the list") {
     val t = fresh(maxEntries = 4)
     t.commit(Seq((0L, "x")).toDF("id", "v"), "init")

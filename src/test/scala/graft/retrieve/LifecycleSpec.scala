@@ -272,6 +272,27 @@ class LifecycleSpec extends SparkSpec {
     assert(store.chunks.read().join(gone, Seq("chunk_id"), "left_semi").count() == 0)
   }
 
+  test("snapshot isolation: reader pinned pre-maintenance survives delta + maintain()") {
+    // Round-5 ask #8: a reader pinned at snapshot N must survive a later
+    // delta commit plus maintain()'s compaction + GC. keepSnapshots counts
+    // PRE-maintenance snapshots, so the default (2) covers a reader pinned
+    // at the snapshot that was current when the delta landed.
+    val store = freshStore()
+    Indexer.index(store, docs.toDF("content"))
+    val pinSnap = store.chunks.currentSnapshot.get
+    val pinnedIds = store.chunks.read().select("chunk_id")
+      .collect().map(_.getString(0)).toSet
+    Indexer.index(store, extraDocs.toDF("content")) // delta commits on top
+    store.maintain() // compacts every table, GCs past the retention window
+    val after = store.chunks.readAt(pinSnap).select("chunk_id")
+      .collect().map(_.getString(0)).toSet
+    assert(after == pinnedIds,
+      "a reader pinned within the retention window must read its exact old rows " +
+      "after maintain() — GC may never delete segments its manifest references")
+    assert(store.chunks.read().select("chunk_id").collect().map(_.getString(0)).toSet
+      .size > pinnedIds.size, "current state must still include the delta docs")
+  }
+
   test("store maintenance: compaction + snapshot GC preserve state and serving") {
     val store = freshStore()
     Indexer.index(store, docs.toDF("content"))
@@ -287,7 +308,10 @@ class LifecycleSpec extends SparkSpec {
       else t.read().collect().map(_.toString).toSet)
     val stateBefore = state()
     store.maintain(keepSnapshots = 1)
-    assert(store.tables.forall(t => t.isEmpty || t.snapshots.size <= 1))
+    // keepSnapshots counts PRE-maintenance snapshots (round-6 isolation
+    // contract): a compacting table keeps its pre-maintenance current
+    // snapshot plus the fresh compaction — at most 2 markers.
+    assert(store.tables.forall(t => t.isEmpty || t.snapshots.size <= 2))
     assert(store.tables.forall(t =>
       t.isEmpty || t.manifest(t.currentSnapshot.get).entries.size == 1),
       "every table must be a single compacted segment after maintain()")

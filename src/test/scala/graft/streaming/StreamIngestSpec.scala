@@ -107,6 +107,56 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization == batch rollup on closed sessions (q49 twin)") {
+    // Round-5 stretch ask #9: the q49 batch semantics as a watermark-
+    // closed flatMapGroupsWithState session window, equal to the batch
+    // rollup on every CLOSED session. The fixture includes the boundary
+    // tie (gap exactly 1800 s stays in-session — batch uses strict >),
+    // which pins the twins to the same comparison.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Offset from epoch 0: the initial watermark is 0 ms, and the
+    // stateful operator's late-row filter drops event times at-or-below
+    // the watermark — a ts(0) event would be "late" before anything ran.
+    def ts(min: Long) = new java.sql.Timestamp((1000000L + min) * 60000L)
+    val real = Seq(
+      (1L, 100L, ts(0)), (1L, 101L, ts(10)), (1L, 102L, ts(20)), // u1 session 1
+      (1L, 103L, ts(60)), (1L, 104L, ts(65)),                    // u1 session 2
+      (2L, 200L, ts(5)),                                         // u2 session 1
+      (2L, 201L, ts(200)), (2L, 202L, ts(210)),                  // u2 session 2
+      (3L, 300L, ts(0)), (3L, 301L, ts(30)),                     // u3: 30 min gap == 1800 s stays
+      (3L, 302L, ts(61)))                                        // u3 session 2 (1860 s > gap)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = src.toDF().toDF("user_id", "event_id", "ts")
+    val q = StreamIngest.sessionizeStream(spark, events,
+        gapSec = 1800L, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      src.addData(real: _*)
+      q.processAllAvailable()
+      // Two sentinel batches march the watermark past every real
+      // session's (last event + gap) timer: the watermark a batch runs
+      // with derives from the PREVIOUS batch's max event time.
+      src.addData((99L, 900L, ts(100000)))
+      q.processAllAvailable()
+      src.addData((99L, 901L, ts(200000)))
+      q.processAllAvailable()
+      def row5(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("first_event"),
+          r.getAs[Long]("duration_sec"))
+      val streamed = spark.table("sess_out")
+        .where(col("user_id") =!= 99L).collect().map(row5).toSet
+      val batch = graft.ops.Sessionize.sessions(
+        real.toDF("user_id", "event_id", "ts")).collect().map(row5).toSet
+      assert(streamed.size == 6, s"expected all 6 real sessions closed, got $streamed")
+      assert(streamed == batch,
+        "closed streaming sessions must equal the batch rollup exactly")
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts match batch aggregation on closed windows") {
     import spark.implicits._
     val events = Seq(
