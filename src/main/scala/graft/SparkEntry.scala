@@ -87,6 +87,7 @@ object SparkEntry {
     "q48_bm25" -> (Q.qBm25 _),
     "q49_sessionize" -> (Q.qSessionize _),
     "q50_ngram_stats" -> (Q.qNgramStats _),
+    "q51_skipgrams" -> (Q.qSkipGrams _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

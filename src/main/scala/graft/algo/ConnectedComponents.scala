@@ -103,14 +103,26 @@ object ConnectedComponents {
     *        floor when the remainder would fit in one task. At 100 TB the
     *        contracted remainder stays above any such gate and the star
     *        loop runs; 0 disables the gate (spec cross-checks).
+    * @param checkpointDir durable-resume directory ([[CcCheckpoint]]):
+    *        when set, the contracted pair set is persisted to disk every
+    *        `diskCheckpointEvery` rounds, and a run over a dir holding a
+    *        committed checkpoint RESUMES from it (skipping input rebuild
+    *        and pre-contraction — the stored pair set IS the loop state).
+    *        Resumed == uninterrupted exactly (deterministic rounds over an
+    *        identical pair set; spec-pinned). None = in-memory only.
+    * @param diskCheckpointEvery rounds between durable checkpoints
     * @return (vid, component) with component = min vid reachable, and the
     *         number of star rounds (one round = large-star + small-star;
-    *         0 when the gate finished the job)
+    *         0 when the gate finished the job; includes rounds replayed
+    *         from a restored checkpoint's counter)
     */
   def run(arcs: DataFrame, vertices: DataFrame, checkpointEvery: Int = 5,
           maxIter: Int = 200, preContract: Boolean = true,
-          localFinishMax: Long = 1L << 20): (DataFrame, Int) = {
+          localFinishMax: Long = 1L << 20,
+          checkpointDir: Option[String] = None,
+          diskCheckpointEvery: Int = 10): (DataFrame, Int) = {
     val spark = arcs.sparkSession
+    val t0 = System.nanoTime()
     // Re-root a persisted frame as a LogicalRDD leaf: each star round
     // references the previous edge set FOUR times (sym union ×2, then
     // join + min ×2), so chaining plans would grow the logical tree 4^k
@@ -120,14 +132,21 @@ object ConnectedComponents {
     def reRoot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
 
     // Unordered simple pairs (a < b) — the star edge set. `cur` is the
-    // persisted handle (for unpersist); `edges` its leaf view.
-    val raw0 = arcs.select(col("src").as("u"), col("dst").as("v"))
-      .where(col("u") =!= col("v"))
-    val raw = if (preContract) localContract(raw0) else raw0
-    var cur = raw
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted handle (for unpersist); `edges` its leaf view. A committed
+    // durable checkpoint replaces the whole construction: the stored pair
+    // set is already contracted/canonicalized.
+    val restored = checkpointDir.flatMap(d => CcCheckpoint.readLatest(spark, d))
+    var cur = restored match {
+      case Some(st) => st.pairs.persist(StorageLevel.MEMORY_AND_DISK)
+      case None =>
+        val raw0 = arcs.select(col("src").as("u"), col("dst").as("v"))
+          .where(col("u") =!= col("v"))
+        val raw = if (preContract) localContract(raw0) else raw0
+        raw.select(least(col("u"), col("v")).as("a"),
+            greatest(col("u"), col("v")).as("b"))
+          .distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     // bit_xor, not sum: ANSI mode overflow-checks long sums; xor is
     // order-insensitive and exact over the DISTINCT pair set. The same
     // single action also estimates collected bytes for the driver gate.
@@ -184,7 +203,7 @@ object ConnectedComponents {
     }
     var lastChecksum = p0.checksum
     var edges = reRoot(cur)
-    var iter = 0
+    var iter = restored.map(_.iter).getOrElse(0)
     var converged = nEdges == 0L
     while (!converged && iter < maxIter) {
       // LARGE-STAR: every node u links its STRICTLY LARGER neighbors to
@@ -237,6 +256,11 @@ object ConnectedComponents {
       edges = reRoot(cur)
       nEdges = nNext
       iter += 1
+      // Durable checkpoint (CcCheckpoint): written AFTER the round's state
+      // is pinned, so a kill mid-round resumes from the previous commit.
+      if (!converged && checkpointDir.isDefined && iter % diskCheckpointEvery == 0)
+        CcCheckpoint.write(spark, checkpointDir.get, cur, iter, nEdges,
+          lastChecksum, (System.nanoTime() - t0) / 1e9)
     }
     // At the fixpoint every pair is (root = component min, member). The
     // read-out still groupBy-mins per vertex: mid-contraction (maxIter

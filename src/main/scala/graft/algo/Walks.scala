@@ -96,4 +96,31 @@ object Walks {
     degs.unpersist(false)
     res
   }
+
+  /** Skip-gram (center, context) pair counts over a walk corpus — the
+    * word2vec/DeepWalk training-pair generator that consumes
+    * [[randomWalks]] (Perozzi et al. KDD'14 §4.2: each position pairs
+    * with every other position within `window` steps, both directions).
+    *
+    * Scale shape: a self-equi-join on the walk id (start, walk) — each
+    * group is at most walkLen+1 rows, so the join fans out O(L·window)
+    * per walk with NO quadratic blowup in corpus size — followed by one
+    * map-side-combinable count per (center, context). At 100 TB this is
+    * a shuffle on walk ids (uniform by construction) then on vertex
+    * pairs (Zipf, but partial-agg absorbs the hubs).
+    *
+    * @param walks (start, walk, step, vid) — [[randomWalks]] output
+    * @return (center, context, pairs), pairs = co-occurrence count
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    val a = walks.select(col("start").as("s"), col("walk").as("w"),
+      col("step").as("step_a"), col("vid").as("center"))
+    val b = walks.select(col("start").as("s"), col("walk").as("w"),
+      col("step").as("step_b"), col("vid").as("context"))
+    a.join(b, Seq("s", "w"))
+      .where(col("step_a") =!= col("step_b") &&
+        abs(col("step_a") - col("step_b")) <= window)
+      .groupBy("center", "context").agg(count(lit(1)).as("pairs"))
+  }
 }

@@ -696,11 +696,27 @@ object DocQueries {
     * the DuckDB oracle replays the IDENTICAL walks as a recursive CTE —
     * a full value check of the walk kernel, not a shape check.
     */
+  /** Memo-shared walk corpus (q47 + q51 both consume it). */
+  private def walkCorpus(s: SparkSession, dir: String): DataFrame =
+    memoPersist(s, s"walks:$dir")(
+      graft.algo.Walks.randomWalks(directedEntityArcs(s, dir),
+        entityVertices(s, dir), walkLen = 8, walksPerVertex = 2))
+
   def qWalks(s: SparkSession, dir: String): DataFrame =
-    graft.algo.Walks.randomWalks(directedEntityArcs(s, dir),
-        entityVertices(s, dir), walkLen = 8, walksPerVertex = 2)
+    walkCorpus(s, dir)
       .select(col("start").as("start_id"), col("walk"), col("step"), col("vid"))
       .orderBy("start_id", "walk", "step")
+
+  /** q51 — skip-gram (center, context) co-occurrence counts over the q47
+    * walk corpus, window 2 ([[graft.algo.Walks.skipGramPairs]]): the
+    * word2vec/DeepWalk training-pair stage. The oracle replays the walks
+    * (q47's recursive CTE) and self-joins them — a full value check.
+    */
+  def qSkipGrams(s: SparkSession, dir: String): DataFrame =
+    graft.algo.Walks.skipGramPairs(walkCorpus(s, dir), window = 2)
+      .select(col("center").as("center_id"), col("context").as("context_id"),
+        col("pairs"))
+      .orderBy("center_id", "context_id")
 
   /** k-core decomposition (coreness per entity) of the undirected entity
     * graph — distributed h-index iteration to fixpoint

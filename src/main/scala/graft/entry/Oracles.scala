@@ -793,6 +793,36 @@ dsh AS (
         |SELECT start AS start_id, walk, step, v AS vid
         |FROM wk ORDER BY start_id, walk, step""".stripMargin),
 
+    // q51 — skip-gram pairs over the q47 walk corpus (window 2): the
+    // identical walk replay (q47's recursive CTE), self-joined on the
+    // walk id with 0 < |Δstep| <= 2, counted per (center, context).
+    "q51_skipgrams" -> q(
+      """, dfe3 AS (
+        |  SELECT DISTINCT concat('entity-', md5(subj)) AS src,
+        |                  concat('entity-', md5(obj)) AS dst
+        |  FROM triples WHERE subj <> obj),
+        |wadj AS (SELECT src, dst,
+        |                row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+        |         FROM dfe3),
+        |wdeg AS (SELECT src, count(*) AS deg FROM wadj GROUP BY src),
+        |wk(start, walk, step, v) AS (
+        |  SELECT v, w.walk, CAST(0 AS BIGINT), v
+        |  FROM ents CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) w(walk)
+        |  UNION ALL
+        |  SELECT wk.start, wk.walk, wk.step + 1, a.dst
+        |  FROM wk
+        |  JOIN wdeg d ON d.src = wk.v
+        |  JOIN wadj a ON a.src = wk.v
+        |   AND a.idx = CAST(concat('0x', substr(md5(concat_ws('|', 'w', wk.start,
+        |         CAST(wk.walk AS VARCHAR), CAST(wk.step + 1 AS VARCHAR))), 1, 8)) AS BIGINT)
+        |       % d.deg
+        |  WHERE wk.step < 8)
+        |SELECT a.v AS center_id, b.v AS context_id, count(*) AS pairs
+        |FROM wk a JOIN wk b
+        |  ON a.start = b.start AND a.walk = b.walk
+        | AND a.step <> b.step AND abs(a.step - b.step) <= 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // q50 — top-30 trigram shingles by document frequency (dsh is
     // doc-distinct by construction, so count(*) == df).
     "q50_ngram_stats" -> q(

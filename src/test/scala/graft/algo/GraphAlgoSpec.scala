@@ -67,6 +67,43 @@ class GraphAlgoSpec extends SparkSpec {
     }
   }
 
+  test("CC durable checkpoint: kill-at-round-2 resume == uninterrupted run (north-rule resumability)") {
+    // The CC half of the north rule's resumable-state requirement
+    // (PprSpec pins the PPR half): a run killed mid-convergence resumes
+    // from its last committed CcCheckpoint and lands on the IDENTICAL
+    // labels at the IDENTICAL absolute round count. preContract off +
+    // localFinishMax 0 force the multi-round star loop; the 512-vertex
+    // path needs several rounds, so round 2 is genuinely mid-convergence.
+    val n = 512
+    val edges = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong, 1.0))
+      .toDF("src", "dst", "weight")
+    val arcs = Adjacency.symmetrize(edges)
+    val vertices = (0L until n.toLong).toDF("vid")
+    def labelMap(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (full, fullRounds) = ConnectedComponents.run(arcs, vertices,
+      preContract = false, localFinishMax = 0L)
+    assert(fullRounds >= 4, s"fixture must be multi-round (got $fullRounds)")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    // "Kill" after 2 rounds: maxIter = 2 with per-round durable commits.
+    val (_, partialRounds) = ConnectedComponents.run(arcs, vertices,
+      preContract = false, localFinishMax = 0L,
+      checkpointDir = Some(dir), diskCheckpointEvery = 1, maxIter = 2)
+    assert(partialRounds == 2)
+    val st = CcCheckpoint.readLatest(spark, dir)
+    assert(st.exists(_.iter == 2), "round-2 checkpoint must be committed")
+    assert(new java.io.File(s"$dir/iter=2/partstats").exists,
+      "per-partition lineage must be part of the checkpoint")
+    // Resume over the same dir: starts at round 2, replays to the same
+    // fixpoint — labels exactly equal, absolute round count preserved.
+    val (resumed, resumedRounds) = ConnectedComponents.run(arcs, vertices,
+      preContract = false, localFinishMax = 0L, checkpointDir = Some(dir))
+    assert(resumedRounds == fullRounds,
+      s"resume must land on the same absolute round count ($resumedRounds vs $fullRounds)")
+    assert(labelMap(resumed) == labelMap(full),
+      "resumed labels must equal the uninterrupted run exactly")
+  }
+
   test("star contraction is diameter-independent: 10^4-vertex path in O(log V) rounds") {
     // Worst case for label propagation: a path graph, where the min label
     // must crawl one hop per round (~10^4 rounds). Star contraction

@@ -287,6 +287,29 @@ class LinkAlgoSpec extends SparkSpec {
     assert(got2 == expect)
   }
 
+  test("skip-gram pairs: window-2 co-occurrences match a hand-rolled count") {
+    // One walk corpus with two walks, checked against a driver-side
+    // enumeration of the same window rule (every ordered pair within 2
+    // steps, both directions, per walk).
+    val walks = Seq(
+      // walk (0, 0): 5 -> 6 -> 7 -> 6
+      (5L, 0L, 0L, 5L), (5L, 0L, 1L, 6L), (5L, 0L, 2L, 7L), (5L, 0L, 3L, 6L),
+      // walk (9, 1): 9 -> 5 (dead end after one step)
+      (9L, 1L, 0L, 9L), (9L, 1L, 1L, 5L))
+      .toDF("start", "walk", "step", "vid")
+    val rows = Seq(
+      (5L, 0L, Seq(5L, 6L, 7L, 6L)), (9L, 1L, Seq(9L, 5L)))
+    val want = rows.flatMap { case (_, _, vs) =>
+      for {
+        i <- vs.indices; j <- vs.indices
+        if i != j && math.abs(i - j) <= 2
+      } yield (vs(i), vs(j))
+    }.groupBy(identity).map { case ((c, x), hits) => (c, x, hits.size.toLong) }.toSet
+    val got = Walks.skipGramPairs(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+
   test("bow-tie classification: core/in/out/other on a handcrafted web") {
     // core cycle 2↔3↔4 (2→3→4→2), in: 0→2, 1→0 (chain into core),
     // out: 4→5, 5→6; other: 7→8 (tendril pair off nothing), isolated 9.
