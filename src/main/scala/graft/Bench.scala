@@ -295,7 +295,8 @@ object Bench {
       "q27c_ppr_fixed", "q31_embed_dedup", "q32_ann_ivf", "q33_pagerank_global",
       "q35_hits", "q36_host_graph", "q37_bfs_hops", "q38_scc", "q39_bowtie",
       "q40_neighborhood", "q41_kcore", "q42_harmonic", "q43_clustering",
-      "q44_reciprocity", "q45_assortativity", "q46_hyperball", "q47_walks", "q48_bm25", "q49_sessionize", "q50_ngram_stats")
+      "q44_reciprocity", "q45_assortativity", "q46_hyperball", "q47_walks", "q48_bm25", "q49_sessionize", "q50_ngram_stats",
+      "q51_skipgrams")
     val spark1 = session(cpus, cpus)
     val qTimes: Seq[(String, Double)] =
       if (skipHeadline) Seq.empty
