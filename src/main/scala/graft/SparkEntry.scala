@@ -88,6 +88,7 @@ object SparkEntry {
     "q49_sessionize" -> (Q.qSessionize _),
     "q50_ngram_stats" -> (Q.qNgramStats _),
     "q51_skipgrams" -> (Q.qSkipGrams _),
+    "q52_distinct_sketch" -> (Q.qDistinctSketch _),
     // events: json + windowed agg (F8)
     "q28_json_extract" -> (Q.qJsonExtract _),
     "q29_window_agg" -> (Q.qWindowAgg _),

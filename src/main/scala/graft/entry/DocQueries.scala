@@ -842,6 +842,25 @@ object DocQueries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
       .orderBy("hour", "event_type")
 
+  /** q52 — approximate distinct counting (per-type distinct users) on the
+    * in-house register-array HLL kernel ([[graft.functions.SketchOps]],
+    * lgK = 12 → ~1.6% standard error): THE cardinality operator of a
+    * 100-TB pipeline, where exact count(distinct) is a full shuffle of
+    * every key and the sketch is a fixed 4 KB register array per group,
+    * map-side combinable. Driver-level tolerance gate (the q46 pattern —
+    * sketches have no SQL form): the oracle carries the EXACT counts and
+    * pins `est_ok` TRUE; Spark emits TRUE iff the estimate lands within
+    * ±5% of exact. At scale only the estimate column would be computed.
+    */
+  def qDistinctSketch(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).groupBy("event_type").agg(
+        countDistinct("user_id").as("exact_users"),
+        graft.functions.SketchOps.regHllEstimate(
+          graft.functions.SketchOps.regHllAgg(col("user_id"), 12)).as("est"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") / col("exact_users") - 1.0) <= 0.05).as("est_ok"))
+      .orderBy("event_type")
+
   /** q49 — sessionization (30-minute inactivity gap): the canonical
     * event-stream operator (its streaming twin is a
     * `flatMapGroupsWithState` session window — StreamIngest's shape).

@@ -1018,6 +1018,13 @@ dsh AS (
       |GROUP BY 1, 2
       |ORDER BY src_host, dst_host""".stripMargin,
 
+    // q52 — the q46-style sketch tolerance gate: exact per-type distinct
+    // users + est_ok pinned TRUE (Spark computes TRUE iff the lgK=12 HLL
+    // estimate is within ±5% of exact; ~1.6% standard error).
+    "q52_distinct_sketch" -> """
+      |SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS est_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q28_json_extract" -> """
       |SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       |FROM events ORDER BY event_id""".stripMargin,

@@ -44,6 +44,21 @@ class JobsSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("index + retrieve jobs: docs parquet -> store -> ranked chunks parquet") {
+    val docs = tmp("jobs_docs"); val store = tmp("jobs_store")
+    val queries = tmp("jobs_q"); val out = tmp("jobs_rout")
+    Seq("Alice visited Paris. Paris hosts Louvre.",
+        "Bob founded Acme. Acme acquired Paris Office.")
+      .toDF("text").write.mode("overwrite").parquet(docs)
+    Jobs.run(spark, Seq("index", docs, store))
+    Seq((0L, "where is the Louvre")).toDF("qid", "query")
+      .write.mode("overwrite").parquet(queries)
+    Jobs.run(spark, Seq("retrieve", store, queries, out))
+    val got = spark.read.parquet(out)
+    assert(got.count() > 0, "retrieval over the CLI-indexed store must serve")
+    assert(got.columns.contains("rank") && got.columns.contains("chunk_id"))
+  }
+
   test("walks job honors length/perVertex args; usage error on bad subcommand") {
     val arcs = tmp("jobs_warcs"); val verts = tmp("jobs_wverts"); val out = tmp("jobs_wout")
     Seq((0L, 1L), (1L, 0L)).toDF("src", "dst").write.mode("overwrite").parquet(arcs)

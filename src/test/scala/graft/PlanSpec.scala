@@ -77,6 +77,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
+  test("skip-gram pairs: equi-join on the walk id (no cartesian), partial agg") {
+    import spark.implicits._
+    val walks = Seq((0L, 0L, 0L, 5L), (0L, 0L, 1L, 6L), (0L, 0L, 2L, 7L))
+      .toDF("start", "walk", "step", "vid")
+    val plan = planOf(graft.algo.Walks.skipGramPairs(walks, window = 2))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"skip-gram self-join must be an equi-join on the walk id:\n$plan")
+    assert(plan.contains("partial_"),
+      s"pair counts must combine map-side (Zipf hub vertices):\n$plan")
+  }
+
+  test("HLL distinct sketch: estimates aggregate with map-side partials") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val plan = planOf(ev.groupBy("event_type").agg(
+      graft.functions.SketchOps.regHllEstimate(
+        graft.functions.SketchOps.regHllAgg(col("user_id"), 12)).as("est")))
+    assert(plan.contains("partial_"),
+      s"HLL sketches must combine map-side (the 100-TB point of a sketch):\n$plan")
+  }
+
   test("whole-stage codegen covers the scalar pipeline (text processing)") {
     // Under AQE the codegen explain sees only the unresolved adaptive root
     // and reports 0 subtrees — disable it for the static-plan assertion
