@@ -49,6 +49,21 @@ private[algo] object DriverGate {
       n * rowOverheadBytes + 2L * strB)
   }
 
+  /** One aggregate action over a single-column frame: row count and the
+    * collected-bytes estimate (checksum 0 — single-column gates don't
+    * need the fixpoint probe).
+    */
+  def colProbe(df: DataFrame, c: String): Probe = {
+    val stringBytes = df.schema(c).dataType match {
+      case StringType => sum(octet_length(col(c)))
+      case _ => lit(null).cast("long")
+    }
+    val r = df.agg(count(lit(1)), stringBytes.cast("long")).first()
+    val n = r.getLong(0)
+    val strB = if (r.isNullAt(1)) 0L else r.getLong(1)
+    Probe(n, 0L, n * rowOverheadBytes + 2L * strB)
+  }
+
   /** Vid types whose natural JVM order matches SQL least/greatest — the
     * precondition for a driver kernel whose published labels are the
     * component/orientation minima.

@@ -45,8 +45,9 @@ object Neighborhood {
     * hops.
     */
   def exactDistribution(arcs: DataFrame, vertices: DataFrame,
-                        maxRounds: Int = 64, checkpointEvery: Int = 5): DataFrame =
-    exactDistances(arcs, vertices, maxRounds, checkpointEvery)
+                        maxRounds: Int = 64, checkpointEvery: Int = 5,
+                        localKernelMax: Long = 1L << 20): DataFrame =
+    exactDistances(arcs, vertices, maxRounds, checkpointEvery, localKernelMax)
       .groupBy("hops").agg(count(lit(1)).as("pairs"))
       .orderBy("hops")
 
@@ -57,8 +58,24 @@ object Neighborhood {
     * route (that is [[hyperball]]).
     */
   def exactDistances(arcs: DataFrame, vertices: DataFrame,
-                     maxRounds: Int = 64, checkpointEvery: Int = 5): DataFrame = {
+                     maxRounds: Int = 64, checkpointEvery: Int = 5,
+                     localKernelMax: Long = 1L << 20): DataFrame = {
     val spark = arcs.sparkSession
+    // Bounded driver kernel (the CC/HITS/Triangles/Bfs gate pattern):
+    // all-roots BFS over collected arrays when the graph is small. The
+    // gate bounds the OUTPUT too — the result is O(roots·reach) pairs,
+    // so the product roots × (2·arcs + 1) (reach ⊆ arc endpoints ∪ root)
+    // must fit a driver-safe row count, not just the inputs. Hop counts
+    // are integers: paths spec-pinned exactly equal. 0 disables.
+    if (localKernelMax > 0) {
+      val pa = DriverGate.pairProbe(arcs.select("src", "dst"), "src", "dst")
+      if (pa.rows <= localKernelMax && pa.estBytes <= DriverGate.defaultMaxBytes) {
+        val pv = DriverGate.colProbe(vertices.select("vid"), "vid")
+        if (pv.estBytes <= DriverGate.defaultMaxBytes &&
+            pv.rows * (2L * pa.rows + 1L) <= (1L << 21))
+          return exactDistancesLocal(arcs, vertices, maxRounds)
+      }
+    }
     def reRoot(df: DataFrame): DataFrame = spark.createDataFrame(df.rdd, df.schema)
     val a0 = arcs.select("src", "dst").distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -101,6 +118,77 @@ object Neighborhood {
     if (frontier ne state) frontier.unpersist(false)
     a0.unpersist(false)
     out
+  }
+
+  /** The gated driver kernel: per-root BFS over one collected int-indexed
+    * CSR (arcs deduplicated like the distributed path), levels capped at
+    * `maxRounds`. Emits the identical (root, vid, hops) pair set.
+    */
+  private def exactDistancesLocal(arcs: DataFrame, vertices: DataFrame,
+                                  maxRounds: Int): DataFrame = {
+    val spark = arcs.sparkSession
+    val idx = new java.util.HashMap[Any, Integer]()
+    val vids = new java.util.ArrayList[Any]()
+    def id(v: Any): Int = {
+      val got = idx.get(v)
+      if (got != null) got.intValue()
+      else { val i = vids.size(); idx.put(v, i); vids.add(v); i }
+    }
+    val arcRows = arcs.select("src", "dst").distinct().collect()
+    val ea = new Array[Int](arcRows.length)
+    val eb = new Array[Int](arcRows.length)
+    var i = 0
+    while (i < arcRows.length) {
+      ea(i) = id(arcRows(i).get(0)); eb(i) = id(arcRows(i).get(1)); i += 1
+    }
+    // Parity with the distributed path on duplicate `vertices` rows: the
+    // state init there emits one (v, v, 0) row PER INPUT ROW, while the
+    // groupBy relaxation dedups everything past hop 0 — mirror exactly.
+    val rootRows = vertices.select("vid").collect().map(r => id(r.get(0)))
+    val rootIds = rootRows.distinct
+    val n = vids.size()
+    val outDeg = new Array[Int](n)
+    i = 0; while (i < arcRows.length) { outDeg(ea(i)) += 1; i += 1 }
+    val start = new Array[Int](n + 1)
+    i = 0; while (i < n) { start(i + 1) = start(i) + outDeg(i); i += 1 }
+    val adj = new Array[Int](arcRows.length)
+    val fill = new Array[Int](n)
+    i = 0
+    while (i < arcRows.length) {
+      adj(start(ea(i)) + fill(ea(i))) = eb(i); fill(ea(i)) += 1; i += 1
+    }
+    val vidType = vertices.schema("vid").dataType
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    val dist = new Array[Long](n)
+    rootRows.foreach(r => // one hop-0 row per INPUT row (dup-parity above)
+      rows.add(org.apache.spark.sql.Row(vids.get(r), vids.get(r), 0L)))
+    rootIds.foreach { r =>
+      java.util.Arrays.fill(dist, -1L)
+      dist(r) = 0L
+      var frontier = Array(r)
+      var d = 0L
+      while (frontier.nonEmpty && d < maxRounds) {
+        d += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+        frontier.foreach { u =>
+          var p = start(u)
+          while (p < start(u + 1)) {
+            val v = adj(p)
+            if (dist(v) < 0L) {
+              dist(v) = d; next += v
+              rows.add(org.apache.spark.sql.Row(vids.get(r), vids.get(v), d))
+            }
+            p += 1
+          }
+        }
+        frontier = next.toArray
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("root", vidType),
+      org.apache.spark.sql.types.StructField("vid", vidType),
+      org.apache.spark.sql.types.StructField("hops", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(rows, schema).localCheckpoint(true)
   }
 
   /** Exact INBOUND harmonic centrality H(v) = Σ_{u ≠ v, d(u,v) < ∞}

@@ -96,11 +96,16 @@ class LinkAlgoSpec extends SparkSpec {
       val seeds = Seq(0L, 1L, 2L)
       val oracle = denseHops(n, arcs, seeds)
       val sym = graft.graph.Adjacency.symmetrize(arcs.toDF("src", "dst", "weight"))
-      val got = Bfs.hops(sym, (0L until n.toLong).toDF("vid"), seeds.toDF("vid"))
-        .collect().map(r => r.getLong(0) ->
-          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
-      for (v <- 0 until n)
-        assert(got(v.toLong) == oracle(v), s"hops vid=$v")
+      // Both paths (round 6: gated driver kernel vs the distributed
+      // frontier loop; hop counts are integers — exact equality).
+      for (gate <- Seq(1L << 20, 0L)) {
+        val got = Bfs.hops(sym, (0L until n.toLong).toDF("vid"), seeds.toDF("vid"),
+            localKernelMax = gate)
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+        for (v <- 0 until n)
+          assert(got(v.toLong) == oracle(v), s"hops vid=$v gate=$gate")
+      }
       assert(oracle.contains(-1L), "fixture must include unreachable vertices")
     }
   }
@@ -395,10 +400,15 @@ class LinkAlgoSpec extends SparkSpec {
       val n = 40
       val arcs = randomArcs(n, 120, seed).map(a => (a._1, a._2))
       val want = denseDistribution(n, arcs)
-      val got = Neighborhood.exactDistribution(
-          arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got == want)
+      // Both paths (round 6: gated all-roots driver kernel vs the
+      // distributed loop — localKernelMax = 0 forces the latter).
+      for (gate <- Seq(1L << 20, 0L)) {
+        val got = Neighborhood.exactDistribution(
+            arcs.toDF("src", "dst"), (0L until n.toLong).toDF("vid"),
+            localKernelMax = gate)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"gate=$gate")
+      }
     }
   }
 
