@@ -157,6 +157,51 @@ class StreamIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionization == batch on a seeded random corpus fed in 4 batches") {
+    // Property form of the twin equality: 200 events over 8 users with
+    // hash-derived gaps (some exactly at the 1800 s boundary), delivered
+    // in timestamp order across FOUR micro-batches so sessions open,
+    // survive batch boundaries, time out mid-stream, and reopen — then
+    // two sentinel batches flush the rest.
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def h(i: Int, salt: Int): Long =
+      java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(s"sess|$i|$salt").take(8), 16)
+    var t = 60000000L // seconds; far from epoch 0
+    val real = (0 until 200).map { i =>
+      t += h(i, 1) % 2400 // global gaps 0..2399 s; per-user gaps straddle 1800
+      (h(i, 2) % 8, 1000L + i, new java.sql.Timestamp(t * 1000L))
+    }
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamIngest.sessionizeStream(spark, src.toDF().toDF("user_id", "event_id", "ts"),
+        gapSec = 1800L, watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("sess_prop_out")
+      .outputMode("append").start()
+    try {
+      real.grouped(50).foreach { batch =>
+        src.addData(batch: _*); q.processAllAvailable()
+      }
+      val tMax = real.map(_._3.getTime / 1000).max
+      src.addData((99L, 9000L, new java.sql.Timestamp((tMax + 100000) * 1000L)))
+      q.processAllAvailable()
+      src.addData((99L, 9001L, new java.sql.Timestamp((tMax + 300000) * 1000L)))
+      q.processAllAvailable()
+      def row5(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("user_id"), r.getAs[Long]("session"),
+          r.getAs[Long]("n_events"), r.getAs[Long]("first_event"),
+          r.getAs[Long]("duration_sec"))
+      val streamed = spark.table("sess_prop_out")
+        .where(col("user_id") =!= 99L).collect().map(row5).toSet
+      val batch = graft.ops.Sessionize.sessions(
+        real.toDF("user_id", "event_id", "ts")).collect().map(row5).toSet
+      assert(streamed == batch,
+        s"random-corpus twin divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+      assert(batch.size > 50, s"fixture must produce many sessions (got ${batch.size})")
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts match batch aggregation on closed windows") {
     import spark.implicits._
     val events = Seq(
