@@ -37,11 +37,17 @@ object Bfs {
     *        the frontier loop runs. 0 disables the gate.
     * @return (vid, hops) for EVERY vertex; unreachable → null hops
     */
+  /** @param sizeHint |arcs| + |seeds| if the caller already knows it —
+    *        a hint ABOVE `localKernelMax` skips the gate's O(E) probe
+    *        scan entirely (pure overhead at web scale, where the gate
+    *        can never fire; the Hits.run sizeHint pattern, round-6
+    *        advice). Negative = unknown, probe runs.
+    */
   def hops(arcs: DataFrame, vertices: DataFrame, seeds: DataFrame,
            maxRounds: Int = 64, checkpointEvery: Int = 5,
-           localKernelMax: Long = 1L << 20): DataFrame = {
+           localKernelMax: Long = 1L << 20, sizeHint: Long = -1L): DataFrame = {
     val spark = arcs.sparkSession
-    if (localKernelMax > 0) {
+    if (localKernelMax > 0 && (sizeHint < 0L || sizeHint <= localKernelMax)) {
       val pa = DriverGate.pairProbe(arcs.select("src", "dst"), "src", "dst")
       if (pa.rows <= localKernelMax && pa.estBytes <= DriverGate.defaultMaxBytes) {
         val ps = DriverGate.colProbe(seeds.select("vid"), "vid")

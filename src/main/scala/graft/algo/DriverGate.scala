@@ -72,4 +72,30 @@ private[algo] object DriverGate {
     case LongType | IntegerType | StringType => true
     case _ => false
   }
+
+  /** Ordering over collected vid values matching Spark SQL's sort order
+    * for the [[naturallyOrdered]] types. Strings compare as UNSIGNED
+    * UTF-8 bytes (Spark's UTF8String binary order) — java.lang.String's
+    * UTF-16 compareTo diverges for supplementary-plane codepoints, so
+    * the bytes are compared directly.
+    */
+  def sqlOrdering(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = dt match {
+    case StringType => new Ordering[Any] {
+      def compare(x: Any, y: Any): Int = {
+        val a = x.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val b = y.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val c = (a(i) & 0xFF) - (b(i) & 0xFF)
+          if (c != 0) return c
+          i += 1
+        }
+        a.length - b.length
+      }
+    }
+    case LongType => Ordering.Long.asInstanceOf[Ordering[Any]].on[Any](_.asInstanceOf[Long])
+    case IntegerType => Ordering.Int.asInstanceOf[Ordering[Any]].on[Any](_.asInstanceOf[Int])
+    case other => throw new IllegalArgumentException(s"no SQL ordering for $other")
+  }
 }

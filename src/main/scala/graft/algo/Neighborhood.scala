@@ -46,8 +46,8 @@ object Neighborhood {
     */
   def exactDistribution(arcs: DataFrame, vertices: DataFrame,
                         maxRounds: Int = 64, checkpointEvery: Int = 5,
-                        localKernelMax: Long = 1L << 20): DataFrame =
-    exactDistances(arcs, vertices, maxRounds, checkpointEvery, localKernelMax)
+                        localKernelMax: Long = 1L << 20, sizeHint: Long = -1L): DataFrame =
+    exactDistances(arcs, vertices, maxRounds, checkpointEvery, localKernelMax, sizeHint)
       .groupBy("hops").agg(count(lit(1)).as("pairs"))
       .orderBy("hops")
 
@@ -59,20 +59,32 @@ object Neighborhood {
     */
   def exactDistances(arcs: DataFrame, vertices: DataFrame,
                      maxRounds: Int = 64, checkpointEvery: Int = 5,
-                     localKernelMax: Long = 1L << 20): DataFrame = {
+                     localKernelMax: Long = 1L << 20, sizeHint: Long = -1L): DataFrame = {
     val spark = arcs.sparkSession
     // Bounded driver kernel (the CC/HITS/Triangles/Bfs gate pattern):
     // all-roots BFS over collected arrays when the graph is small. The
     // gate bounds the OUTPUT too — the result is O(roots·reach) pairs,
     // so the product roots × (2·arcs + 1) (reach ⊆ arc endpoints ∪ root)
     // must fit a driver-safe row count, not just the inputs. Hop counts
-    // are integers: paths spec-pinned exactly equal. 0 disables.
-    if (localKernelMax > 0) {
+    // are integers: paths spec-pinned exactly equal. 0 disables. A
+    // sizeHint (|arcs| + |vertices|) above the gate skips the probe scan
+    // entirely — pure overhead at web scale (round-6 advice, the
+    // Hits.run sizeHint pattern).
+    if (localKernelMax > 0 && (sizeHint < 0L || sizeHint <= localKernelMax)) {
       val pa = DriverGate.pairProbe(arcs.select("src", "dst"), "src", "dst")
       if (pa.rows <= localKernelMax && pa.estBytes <= DriverGate.defaultMaxBytes) {
         val pv = DriverGate.colProbe(vertices.select("vid"), "vid")
+        // Output cap in ROWS and BYTES: the result is O(roots·reach)
+        // (root, vid, hops) rows, each carrying two vid payloads like an
+        // arc row — scale the row cap by the probed per-arc-row byte
+        // estimate so string-vid graphs fall through to the distributed
+        // loop before ~2M boxed Rows of 40-char ids sit on the driver
+        // (round-6 advice: the byte cap protected inputs, not output).
+        val outRows = pv.rows * (2L * pa.rows + 1L)
+        val perRowB = pa.estBytes / math.max(1L, pa.rows) + 8L
         if (pv.estBytes <= DriverGate.defaultMaxBytes &&
-            pv.rows * (2L * pa.rows + 1L) <= (1L << 21))
+            outRows <= (1L << 21) &&
+            outRows * perRowB <= 2L * DriverGate.defaultMaxBytes)
           return exactDistancesLocal(arcs, vertices, maxRounds)
       }
     }

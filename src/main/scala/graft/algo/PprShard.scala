@@ -409,12 +409,32 @@ object PprShard {
 
     def run(seeds: Seq[(Long, Seq[(Long, Double)])], cfg: PprConfig = PprConfig(),
             numShards: Int = 0, topK: Int = 0): (DataFrame, PprStats) = {
-      import spark.implicits._
       val t0 = System.nanoTime()
-      val shards0 = if (numShards > 0) numShards else spark.sparkContext.defaultParallelism
-      val shards = math.min(shards0, math.max(1, seeds.length))
       val iterAcc = spark.sparkContext.longAccumulator("ppr_iterations")
       val capped = spark.sparkContext.longAccumulator("ppr_maxiter_hits")
+      finish(plan(seeds, cfg, numShards, topK, iterAcc, capped), t0, iterAcc, capped)
+    }
+
+    /** [[run]] without the eager persist+count: for single-consumer
+      * callers (one readout action) the eager materialization is a whole
+      * extra job + cached copy that buys nothing — the caller's action
+      * computes the scores exactly once either way. No stats (they would
+      * not be final before the caller's action runs).
+      */
+    def runLazy(seeds: Seq[(Long, Seq[(Long, Double)])], cfg: PprConfig = PprConfig(),
+                numShards: Int = 0, topK: Int = 0): DataFrame = {
+      val iterAcc = spark.sparkContext.longAccumulator("ppr_iterations")
+      val capped = spark.sparkContext.longAccumulator("ppr_maxiter_hits")
+      plan(seeds, cfg, numShards, topK, iterAcc, capped)
+    }
+
+    private def plan(seeds: Seq[(Long, Seq[(Long, Double)])], cfg: PprConfig,
+                     numShards: Int, topK: Int,
+                     iterAcc: org.apache.spark.util.LongAccumulator,
+                     capped: org.apache.spark.util.LongAccumulator): DataFrame = {
+      import spark.implicits._
+      val shards0 = if (numShards > 0) numShards else spark.sparkContext.defaultParallelism
+      val shards = math.min(shards0, math.max(1, seeds.length))
       // Deterministic round-robin interleave, then parallelize — even
       // shards with mixed per-query costs, NO shuffle stage (the old
       // createDataset(...).repartition(...) paid one per call).
@@ -422,11 +442,10 @@ object PprShard {
         Iterator.range(s, seeds.length, shards).map(seeds))
       val bcLocal = bc
       val batchCap = batchSize
-      val scores = spark.sparkContext.parallelize(strided, shards)
+      spark.sparkContext.parallelize(strided, shards)
         .mapPartitions(it =>
           PprShard.solvePartition(it, bcLocal.value, cfg, topK, batchCap, iterAcc, capped))
         .toDF("qid", "vid", "score")
-      finish(scores, t0, iterAcc, capped)
     }
 
     /** Seeds as a DataFrame (qid, vid, weight) — the serving path for
@@ -438,14 +457,29 @@ object PprShard {
       */
     def runFrame(seeds: DataFrame, cfg: PprConfig = PprConfig(),
                  numShards: Int = 0, topK: Int = 0): (DataFrame, PprStats) = {
-      import spark.implicits._
       val t0 = System.nanoTime()
-      val shards = if (numShards > 0) numShards else spark.sparkContext.defaultParallelism
       val iterAcc = spark.sparkContext.longAccumulator("ppr_iterations")
       val capped = spark.sparkContext.longAccumulator("ppr_maxiter_hits")
+      finish(planFrame(seeds, cfg, numShards, topK, iterAcc, capped), t0, iterAcc, capped)
+    }
+
+    /** [[runFrame]] without the eager persist+count (see [[runLazy]]). */
+    def runFrameLazy(seeds: DataFrame, cfg: PprConfig = PprConfig(),
+                     numShards: Int = 0, topK: Int = 0): DataFrame = {
+      val iterAcc = spark.sparkContext.longAccumulator("ppr_iterations")
+      val capped = spark.sparkContext.longAccumulator("ppr_maxiter_hits")
+      planFrame(seeds, cfg, numShards, topK, iterAcc, capped)
+    }
+
+    private def planFrame(seeds: DataFrame, cfg: PprConfig,
+                          numShards: Int, topK: Int,
+                          iterAcc: org.apache.spark.util.LongAccumulator,
+                          capped: org.apache.spark.util.LongAccumulator): DataFrame = {
+      import spark.implicits._
+      val shards = if (numShards > 0) numShards else spark.sparkContext.defaultParallelism
       val bcLocal = bc
       val batchCap = batchSize
-      val scores = seeds
+      seeds
         .select(col("qid").cast("long"), col("vid").cast("long"),
           col("weight").cast("double"))
         .repartition(shards, col("qid"))
@@ -468,7 +502,6 @@ object PprShard {
           }
           PprShard.solvePartition(grouped, bcLocal.value, cfg, topK, batchCap, iterAcc, capped)
         }.toDF("qid", "vid", "score")
-      finish(scores, t0, iterAcc, capped)
     }
 
     def close(): Unit = bc.destroy()

@@ -1,0 +1,149 @@
+package graft.bench
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.SparkEntry
+import graft.entry.DocQueries
+
+/** Instrumented per-query benchmark (guide §1: measure first, attribute
+  * always). NOT the frozen driver bench — [[graft.Bench]] stays the
+  * measurement contract; this main exists so a per-query wall-clock can be
+  * attributed to in-artifact counters: Spark job count, task count,
+  * executor-run-time sum, GC time, scheduler delay, shuffle bytes. The
+  * round-6 verdict's 8.5× committed-vs-rerun swing on the fixpoint query
+  * family was unattributable precisely because the frozen harness reports
+  * walls only; every line here answers "was that wall compute or floor".
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *     sbt "runMain graft.bench.BenchExtra [--plans plans/r07] [query ...]"
+  *
+  * With no query args it runs the cache builds (split per memo table) and
+  * every headline query. `--plans DIR` additionally writes
+  * DIR/<query>.txt with the formatted physical plan of each query run.
+  * Output: one JSON line per query on stdout + a total line.
+  */
+object BenchExtra {
+
+  /** Per-query task/job counters, reset between queries. Scheduler delay
+    * is derived per task as duration − runTime − deserialize − resultSer −
+    * gettingResult (the UI's definition, within clock skew).
+    */
+  final class MetricsListener extends SparkListener {
+    val jobs = new AtomicInteger
+    val tasks = new AtomicInteger
+    val execRunMs = new AtomicLong
+    val gcMs = new AtomicLong
+    val schedDelayMs = new AtomicLong
+    val shuffleReadB = new AtomicLong
+    val shuffleWriteB = new AtomicLong
+
+    override def onJobStart(e: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = e.taskMetrics
+      val info = e.taskInfo
+      if (m != null && info != null) {
+        execRunMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        val delay = info.duration - m.executorRunTime -
+          m.executorDeserializeTime - m.resultSerializationTime
+        if (delay > 0) schedDelayMs.addAndGet(delay)
+        shuffleReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+      ()
+    }
+    def reset(): Unit = Seq(execRunMs, gcMs, schedDelayMs, shuffleReadB, shuffleWriteB)
+      .foreach(_.set(0L)) // jobs/tasks reset below
+    def snapshot(): String =
+      s""""jobs":${jobs.get},"tasks":${tasks.get},"exec_run_ms":${execRunMs.get},""" +
+      s""""gc_ms":${gcMs.get},"sched_delay_ms":${schedDelayMs.get},""" +
+      s""""shuffle_read_b":${shuffleReadB.get},"shuffle_write_b":${shuffleWriteB.get}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val plansDir = {
+      val i = args.indexOf("--plans")
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    val qArgs = args.toSeq.filterNot(_.startsWith("--"))
+      .filterNot(a => plansDir.contains(a))
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-extra")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "512k")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    plansDir.foreach(d => Files.createDirectories(Paths.get(d)))
+
+    var total = 0.0
+    def phase(name: String)(body: => Option[DataFrame]): Unit = {
+      spark.sparkContext.setJobDescription(name)
+      val j0 = listener.jobs.get; val t0 = listener.tasks.get
+      listener.reset()
+      val w0 = System.nanoTime()
+      val dfOpt =
+        try body
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-extra] $name FAILED: ${e.getMessage}"); None
+        }
+      val wall = (System.nanoTime() - w0) / 1e9
+      total += wall
+      // counters relative to phase start
+      val snap = listener.snapshot()
+        .replaceFirst("\"jobs\":\\d+", s""""jobs":${listener.jobs.get - j0}""")
+        .replaceFirst("\"tasks\":\\d+", s""""tasks":${listener.tasks.get - t0}""")
+      println(s"""{"query":"$name","sec":${"%.3f".format(wall)},$snap}""")
+      for (d <- plansDir; df <- dfOpt) {
+        Files.writeString(Paths.get(d, s"$name.txt"),
+          df.queryExecution.explainString(ExplainMode.fromString("formatted")) + "\n")
+      }
+      spark.sparkContext.setJobDescription(null)
+    }
+
+    def noop(df: DataFrame): Option[DataFrame] = {
+      df.write.mode("overwrite").format("noop").save(); Some(df)
+    }
+
+    val names =
+      if (qArgs.nonEmpty) qArgs
+      else Seq("q05_triples", "q06_fact_edges", "q14_dedup_exact",
+        "q15_minhash_lsh", "q16_simhash", "q17_ngram_jaccard",
+        "q18_cosine_topk", "q20_lang_id", "q24_connected_components",
+        "q25_triangles", "q27_ppr", "q27c_ppr_fixed", "q31_embed_dedup",
+        "q32_ann_ivf", "q33_pagerank_global", "q35_hits", "q36_host_graph",
+        "q37_bfs_hops", "q38_scc", "q39_bowtie", "q40_neighborhood",
+        "q41_kcore", "q42_harmonic", "q43_clustering", "q44_reciprocity",
+        "q45_assortativity", "q46_hyperball", "q47_walks", "q48_bm25",
+        "q49_sessionize", "q50_ngram_stats", "q51_skipgrams")
+
+    // Cache builds, split per memo table (the frozen bench reports ONE
+    // cache_build line; attribution needs the parts).
+    if (qArgs.isEmpty) {
+      phase("cache_triples") { DocQueries.triples(spark, sfDir); None }
+      phase("cache_shingles") { DocQueries.docShingles(spark, sfDir); None }
+      phase("cache_arcs") { DocQueries.entityArcs(spark, sfDir); None }
+    }
+    names.foreach { name =>
+      phase(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+    }
+    println(s"""{"metric":"bench_extra_total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

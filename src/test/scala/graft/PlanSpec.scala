@@ -77,13 +77,16 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_"), s"no partial aggregation:\n$plan")
   }
 
-  test("skip-gram pairs: equi-join on the walk id (no cartesian), partial agg") {
+  test("skip-gram pairs: window lead form — NO join at all, partial agg") {
     import spark.implicits._
     val walks = Seq((0L, 0L, 0L, 5L), (0L, 0L, 1L, 6L), (0L, 0L, 2L, 7L))
       .toDF("start", "walk", "step", "vid")
     val plan = planOf(graft.algo.Walks.skipGramPairs(walks, window = 2))
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      s"skip-gram self-join must be an equi-join on the walk id:\n$plan")
+    // round 7: the (start, walk) self-join (O(L^2) intermediate rows per
+    // walk) became lead(vid, k) windows — the plan must carry no join of
+    // any kind, only Window + union + aggregate.
+    assert(!plan.contains("Join"),
+      s"skip-gram must be join-free (window lead form):\n$plan")
     assert(plan.contains("partial_"),
       s"pair counts must combine map-side (Zipf hub vertices):\n$plan")
   }

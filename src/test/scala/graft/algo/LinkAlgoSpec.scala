@@ -523,6 +523,52 @@ class LinkAlgoSpec extends SparkSpec {
       5L -> 4L, 6L -> 1L, 7L -> 1L))
   }
 
+  test("walks/k-core/LPA driver gates == distributed paths (r7 gates)") {
+    // The round-7 bounded driver kernels must be EXACTLY the distributed
+    // answer — same discipline as the CC/HITS/Triangles/Bfs gates. Long
+    // vids here; string vids covered below. walkLen 64 exercises the
+    // window skip-gram rewrite far past the bench's walkLen 8.
+    val arcs = randomArcs(60, 240, 7L).map(a => (a._1, a._2)).distinct
+    val und = arcs.flatMap { case (u, v) => Seq((u, v, 1.0), (v, u, 1.0)) }.distinct
+    val verts = (0L until 60L).toDF("vid")
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+
+    val wG = Walks.randomWalks(arcs.toDF("src", "dst"), verts, 64, 2)
+    val wD = Walks.randomWalks(arcs.toDF("src", "dst"), verts, 64, 2,
+      localKernelMax = 0)
+    assert(setOf(wG) == setOf(wD), "walks gate mismatch")
+    assert(setOf(Walks.skipGramPairs(wG, window = 3)) ==
+      setOf(Walks.skipGramPairs(wD, window = 3)), "skip-gram over gated walks")
+
+    val undDf = und.toDF("src", "dst", "weight")
+    assert(setOf(KCore.run(undDf, verts)) ==
+      setOf(KCore.run(undDf, verts, localKernelMax = 0)), "k-core gate mismatch")
+    assert(setOf(LabelProp.run(undDf, verts, maxIter = 10)._1) ==
+      setOf(LabelProp.run(undDf, verts, maxIter = 10, localKernelMax = 0)._1),
+      "LPA gate mismatch")
+  }
+
+  test("walks/k-core/LPA driver gates handle string vids (SQL binary order)") {
+    // String ids sort by UTF8 bytes in SQL; the gated kernels must use
+    // the same order for adjacency indexing and label tie-breaks.
+    val arcs = randomArcs(40, 160, 23L).map(a => (s"e${a._1}", s"e${a._2}")).distinct
+    val und = arcs.flatMap { case (u, v) => Seq((u, v, 1.0), (v, u, 1.0)) }.distinct
+    val verts = (0 until 40).map(i => s"e$i").toDF("vid")
+    def setOf(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    val wG = Walks.randomWalks(arcs.toDF("src", "dst"), verts, 8, 2)
+    val wD = Walks.randomWalks(arcs.toDF("src", "dst"), verts, 8, 2,
+      localKernelMax = 0)
+    assert(setOf(wG) == setOf(wD), "string walks gate mismatch")
+    val undDf = und.toDF("src", "dst", "weight")
+    assert(setOf(KCore.run(undDf, verts)) ==
+      setOf(KCore.run(undDf, verts, localKernelMax = 0)), "string k-core gate")
+    assert(setOf(LabelProp.run(undDf, verts, maxIter = 10)._1) ==
+      setOf(LabelProp.run(undDf, verts, maxIter = 10, localKernelMax = 0)._1),
+      "string LPA gate")
+  }
+
   test("CC local contraction: identical labels with preContract on/off") {
     val arcs = graft.graph.Adjacency.symmetrize(
       randomArcs(200, 150, 99L).toDF("src", "dst", "weight"))
