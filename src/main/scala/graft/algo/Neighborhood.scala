@@ -258,8 +258,29 @@ object Neighborhood {
     * pages the state is sharded by vid and never collected.
     */
   def hyperball(arcs: DataFrame, vertices: DataFrame, lgK: Int = 12,
-                maxRounds: Int = 64): (Seq[(Int, Double)], DataFrame) = {
+                maxRounds: Int = 64, localKernelMax: Long = 1L << 20,
+                sizeHint: Long = -1L): (Seq[(Int, Double)], DataFrame) = {
     val spark = arcs.sparkSession
+    // Bounded driver kernel (the r7 Walks/KCore/LPA gate family): each
+    // distributed round is a join + two aggregates + a checkpoint — pure
+    // scheduling floor on a tiny graph. The kernel calls the SAME RegHll
+    // statics (hash, register update, max-merge, estimate), so the
+    // per-vertex (ball_size, harm) frame is bit-identical; only the
+    // curve's Σ-size differs in summation ORDER (few ulps — every
+    // consumer applies a ±5% sketch gate). The vertex bound additionally
+    // caps register memory (V × 2^lgK bytes ≤ 256 MB). `sizeHint` above
+    // the gate skips the probe scans.
+    if (localKernelMax > 0 && (sizeHint < 0L || sizeHint <= localKernelMax) &&
+        vertices.schema("vid").dataType ==
+          org.apache.spark.sql.types.LongType) {
+      val pa = DriverGate.pairProbe(arcs.select("src", "dst"), "src", "dst")
+      if (pa.rows <= localKernelMax && pa.estBytes <= DriverGate.defaultMaxBytes) {
+        val pv = DriverGate.colProbe(vertices.select("vid"), "vid")
+        if (pv.rows <= localKernelMax && pv.estBytes <= DriverGate.defaultMaxBytes &&
+            pv.rows * org.apache.spark.sql.graftx.RegHll.numRegisters(lgK).toLong <= (1L << 28))
+          return hyperballLocal(arcs, vertices, lgK, maxRounds)
+      }
+    }
     val nPart = spark.sessionState.conf.numShufflePartitions
     // ckpt = materialize + keep partitioning + BOUNDED stats (raw
     // localCheckpoint carries originStats whose sizeInBytes compounds
@@ -322,6 +343,88 @@ object Neighborhood {
     state.unpersist(false)
     a0.unpersist(false)
     (curve.reverse, balls)
+  }
+
+  /** The gated driver kernel: identical HyperBall rounds over collected
+    * arrays, on the SAME [[org.apache.spark.sql.graftx.RegHll]] register
+    * operations the distributed aggregates run — register-max union is
+    * order-insensitive, the estimator scans registers in index order,
+    * and the per-round harm accumulation is per-vertex sequential, so
+    * the (vid, ball_size, harm) frame is exactly the distributed answer.
+    */
+  private def hyperballLocal(arcs: DataFrame, vertices: DataFrame,
+                             lgK: Int, maxRounds: Int): (Seq[(Int, Double)], DataFrame) = {
+    import org.apache.spark.sql.graftx.RegHll
+    val spark = arcs.sparkSession
+    val vertIds = vertices.select("vid").distinct().collect().map(_.getLong(0))
+    val idx = new java.util.HashMap[java.lang.Long, Integer]()
+    vertIds.zipWithIndex.foreach { case (v, i) => idx.put(v, i) }
+    val n = vertIds.length
+    // arcs restricted to state vertices on BOTH ends (the distributed
+    // gather inner-joins dirty heads on dst and the merge left-joins
+    // from the state on src)
+    val arcRows = arcs.select("src", "dst").distinct().collect()
+    val ea = new scala.collection.mutable.ArrayBuffer[Int]()
+    val eb = new scala.collection.mutable.ArrayBuffer[Int]()
+    arcRows.foreach { r =>
+      val s = idx.get(java.lang.Long.valueOf(r.getLong(0)))
+      val d = idx.get(java.lang.Long.valueOf(r.getLong(1)))
+      if (s != null && d != null) { ea += s.intValue(); eb += d.intValue() }
+    }
+    val m = RegHll.numRegisters(lgK)
+    val balls = Array.tabulate(n) { i =>
+      val regs = new Array[Byte](m)
+      RegHll.updateRegisters(regs,
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(vertIds(i), RegHll.Seed), lgK)
+      regs
+    }
+    val size = Array.tabulate(n)(i => RegHll.estimate(balls(i)))
+    val harm = new Array[Double](n)
+    val dirty = Array.fill(n)(true)
+    var nDirty = n.toLong
+    var curve = List(0 -> size.sum)
+    var round = 0
+    while (nDirty > 0 && round < maxRounds) {
+      // delta(v) = register-max over balls of DIRTY out-neighbors w
+      val delta = new Array[Array[Byte]](n)
+      var e = 0
+      while (e < ea.length) {
+        if (dirty(eb(e))) {
+          val v = ea(e)
+          if (delta(v) == null) delta(v) = new Array[Byte](m)
+          RegHll.maxInPlace(delta(v), balls(eb(e)))
+        }
+        e += 1
+      }
+      nDirty = 0
+      var v = 0
+      while (v < n) {
+        if (delta(v) != null) {
+          val nball = java.util.Arrays.copyOf(balls(v), m)
+          RegHll.maxInPlace(nball, delta(v))
+          val nd = !java.util.Arrays.equals(nball, balls(v))
+          val nsize = if (nd) RegHll.estimate(nball) else size(v)
+          harm(v) += math.max(nsize - size(v), 0.0) / (round + 1).toDouble
+          balls(v) = nball
+          size(v) = nsize
+          dirty(v) = nd
+          if (nd) nDirty += 1
+        } else dirty(v) = false
+        v += 1
+      }
+      round += 1
+      curve ::= (round -> size.sum)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+    var i = 0
+    while (i < n) {
+      rows.add(org.apache.spark.sql.Row(vertIds(i), size(i), harm(i))); i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ball_size", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("harm", org.apache.spark.sql.types.DoubleType)))
+    (curve.reverse, spark.createDataFrame(rows, schema).localCheckpoint(true))
   }
 
   /** Effective diameter at quantile q (default 0.9, Broder et al.'s

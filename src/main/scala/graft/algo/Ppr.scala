@@ -90,39 +90,62 @@ object Ppr {
       prior: Option[PprCheckpoint.State]): (DataFrame, PprStats) = {
 
     val t0 = System.nanoTime()
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    // ckpt = materialize + KEEP outputPartitioning + bounded stats — the
+    // HyperBall/k-core loop discipline (PlanUtils.dropOriginStats doc).
+    def ckpt(df: DataFrame): DataFrame =
+      org.apache.spark.sql.graftx.PlanUtils.dropOriginStats(df.localCheckpoint(true))
     val outW = arcs.groupBy("src").agg(sum("weight").as("out_w"))
-    // Pre-normalize transition weights once: nw = w / outW(src). The arc
-    // columns get loop-unique names: after iteration 1 the rank frame
-    // derives from arcsN, and a same-name join would be an ambiguous
-    // self-join.
+    // Pre-normalize transition weights once: nw = w / outW(src), and
+    // PRE-HASH the arc table by its gather key (round-6 verdict #2, the
+    // HyperBall idiom): the cached partitioning is reused by every
+    // iteration's gather join, so the O(E) side never crosses the wire
+    // again — before this the sort-merge gather re-exchanged (and
+    // re-sorted) the arcs EVERY sweep. The arc columns get loop-unique
+    // names: after iteration 1 the rank frame derives from arcsN, and a
+    // same-name join would be an ambiguous self-join.
     val arcsN = arcs.join(outW, "src")
       .select(col("src").as("a_src"), col("dst").as("a_dst"),
         (col("weight") / col("out_w")).as("nw"))
+      .repartition(nPart, col("a_src"))
+      // Sorted IN the cache: if the planner ever falls back from the
+      // shuffled-hash gather to sort-merge, the cached ordering satisfies
+      // the sort requirement and the O(E) side is still never re-sorted
+      // per sweep (one in-partition sort here, paid once).
+      .sortWithinPartitions("a_src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = arcsN.count()
 
     // In a symmetrized graph only isolated vertices are dangling; only
     // seed-carrying ones can ever hold rank mass, so tracking those suffices.
+    // p and danglingSeeds are loop constants — pre-hashed by the update
+    // join key (qid, vid) once, so the per-iteration 3-way full_outer
+    // runs entirely on the standing partitioning.
     val nonDangling = outW.select(col("src").as("vid"))
-    val p = normalizeSeeds(seeds).persist(StorageLevel.MEMORY_AND_DISK)
+    val p = normalizeSeeds(seeds)
+      .repartition(nPart, col("qid"), col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nQueries = p.select("qid").distinct().count()
     val danglingSeeds = p.join(nonDangling, Seq("vid"), "left_anti")
-      .select("qid", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+      .select("qid", "vid")
+      .repartition(nPart, col("qid"), col("vid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val alpha = cfg.damping
     val threshold = nVertices.toDouble * cfg.tol
 
-    // x₀ is a pure RENAME of p — CacheManager matches canonicalized plans
-    // (aliases stripped), so persisting the projection re-registers p's
-    // cache entry and the loop's first unpersist would DROP p. Re-root it
-    // as a LogicalRDD leaf (reads p's cache through .rdd) instead.
-    val x0proj = prior.map(_.ranks).getOrElse(
-      p.select(col("qid"), col("vid"), col("p").as("x")))
-    var x = spark.createDataFrame(x0proj.rdd, x0proj.schema)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the PERSISTED handle behind x (x itself may be a projection of it —
-    // unpersisting the projection would silently no-op and leak the cache)
-    var xCache = x
+    // State invariant: x is a MATERIALIZED leaf hash-partitioned by
+    // (qid, vid) — the update joins reuse it as-is; only the gather join
+    // re-keys it by vid (a state-sized exchange) and the contribution
+    // transpose shuffles once. Per iteration: TWO state-sized exchanges,
+    // ZERO arc-sized ones (was: one O(E) exchange + sort per sweep).
+    // xLeaf = the materialized leaf (may carry the xo/isd bookkeeping
+    // columns); x = its 3-column state view. Projection preserves the
+    // leaf's partitioning, and unpersist must target the LEAF.
+    var xLeaf = ckpt(prior.map(_.ranks).getOrElse(
+        p.select(col("qid"), col("vid"), col("p").as("x")))
+      .repartition(nPart, col("qid"), col("vid")))
+    var x = xLeaf.select("qid", "vid", "x")
     var dangle: Map[Long, Double] = prior.map(_.dangle).getOrElse {
       x.join(danglingSeeds, Seq("qid", "vid"))
         .groupBy("qid").agg(sum("x").as("ds"))
@@ -134,25 +157,29 @@ object Ppr {
 
     while (iter < cfg.maxIter && !converged) {
       val dangleDf = toDangleDf(spark, dangle)
-      val contrib = x.join(arcsN, col("vid") === col("a_src"))
+      // Gather: x re-keyed by vid meets the arcs' standing hash(a_src)
+      // partitioning — shuffled-hash build on the (small) rank side, the
+      // arc side streams from cache with no exchange and no sort.
+      val contrib = x.hint("SHUFFLE_HASH").join(arcsN, col("vid") === col("a_src"))
         .groupBy(col("qid"), col("a_dst").as("v"))
         .agg(sum(col("x") * col("nw")).as("c"))
       // ONE pass over the (qid, vid) state per iteration: the old rank is
-      // carried through the update join (same (qid, v) keys — Catalyst
-      // reuses the partitioning, no extra shuffle), so the per-row L1
-      // delta and the next danglesum come out of the SAME projection the
-      // update writes, instead of a second full_outer self-join over the
-      // state (which doubled the per-iteration shuffle volume).
+      // carried through the update join (same (qid, v) keys — the
+      // standing partitioning is reused, no extra shuffle), so the
+      // per-row L1 delta and the next danglesum come out of the SAME
+      // projection the update writes, instead of a second full_outer
+      // self-join over the state (which doubled the per-iteration
+      // shuffle volume).
       //
       // Support monotonicity makes the 3-way full_outer complete: x(v)>0
       // requires p(v)>0 or an in-neighbor with mass, so support(x) ⊆
       // support(p) ∪ support(contrib) — no old-rank row can vanish
       // without a matching update row.
-      val joined0 = contrib
+      val joined = contrib
         .join(p.withColumnRenamed("vid", "v"), Seq("qid", "v"), "full_outer")
         .join(x.withColumnRenamed("x", "xo").withColumnRenamed("vid", "v"),
           Seq("qid", "v"), "full_outer")
-        .join(dangleDf, Seq("qid"), "left")
+        .join(broadcast(dangleDf), Seq("qid"), "left")
         .join(danglingSeeds.withColumn("isd", lit(true)).withColumnRenamed("vid", "v"),
           Seq("qid", "v"), "left")
         .select(col("qid"), col("v").as("vid"),
@@ -161,16 +188,16 @@ object Ppr {
            lit(1.0 - alpha) * coalesce(col("p"), lit(0.0))).as("x"),
           coalesce(col("xo"), lit(0.0)).as("xo"),
           coalesce(col("isd"), lit(false)).as("isd"))
-        .persist(StorageLevel.MEMORY_AND_DISK) // joined0 (unique per iter)
-      val joined =
-        if ((iter + 1) % cfg.checkpointEvery == 0) {
-          val chk = joined0.localCheckpoint(true) // truncate lineage
-          joined0.unpersist(false)
-          chk
-        } else joined0
-
-      // One action per iteration: per-query L1 delta + next danglesum.
-      val stats = joined
+      // Materialize the new state as a partitioning-preserving leaf
+      // (constant-size plan, linear RDD lineage — the fused update
+      // references x twice, so an un-leafed plan would double per
+      // iteration), then read the convergence stats off the materialized
+      // partitions. ckpt every iteration replaces the old
+      // persist + every-K localCheckpoint pair: localCheckpoint is the
+      // only re-root that KEEPS outputPartitioning, which is what makes
+      // the update joins exchange-free.
+      val pinned = ckpt(joined)
+      val stats = pinned
         .groupBy("qid")
         .agg(
           sum(abs(col("x") - col("xo"))).as("err"),
@@ -178,41 +205,29 @@ object Ppr {
         .collect()
       val errs = stats.map(r => r.getLong(0) -> r.getDouble(1)).toMap
       dangle = stats.map(r => r.getLong(0) -> r.getDouble(2)).toMap
-      xCache.unpersist(false)
-      xCache = joined
-      // Re-root the next rank state as a LogicalRDD leaf over the PERSISTED
-      // joined frame: the fused update references x twice (contrib + xo),
-      // so keeping the raw logical plan would DOUBLE the tree per iteration
-      // (2^checkpointEvery nodes before each truncation — OOM in the
-      // listener's explainString long before execution). The leaf keeps
-      // every iteration's plan constant-size; RDD lineage stays linear and
-      // is truncated by the localCheckpoint every `checkpointEvery` iters.
-      val proj = joined.select("qid", "vid", "x")
-      x = spark.createDataFrame(proj.rdd, proj.schema)
+      xLeaf.unpersist(false)
+      xLeaf = pinned
+      x = pinned.select("qid", "vid", "x")
       iter += 1
       converged = errs.nonEmpty && errs.values.forall(_ < threshold)
       cfg.checkpointDir.foreach { dir =>
         if (iter % cfg.checkpointEvery == 0 || converged)
-          PprCheckpoint.write(spark, dir, x, iter, errs, dangle, nVertices, nEdges,
-            (System.nanoTime() - t0) / 1e9)
+          PprCheckpoint.write(spark, dir, x.select("qid", "vid", "x"), iter, errs,
+            dangle, nVertices, nEdges, (System.nanoTime() - t0) / 1e9)
       }
     }
     arcsN.unpersist(false)
     // p / danglingSeeds are loop-only inputs; the final state is pinned by
-    // the (materialized) joined cache, so dropping these never recomputes
-    // an iteration — leaking them made the NEXT run over plan-identical
-    // inputs re-register their cache entries (CacheManager warning spam).
+    // the checkpointed leaf, so dropping these never recomputes an
+    // iteration.
     p.unpersist(false)
     danglingSeeds.unpersist(false)
-    // Pin the final state OUTSIDE the SQL cache and release the last
-    // iteration's cached frame: the returned frame is a projection over a
-    // leaf, so a caller's unpersist() could never reach xCache (the exact
-    // per-batch leak the Retriever's serving path would otherwise
-    // accumulate on the shuffle strategy). The localCheckpoint RDD backs
-    // the returned frame and is GC'd with it by the ContextCleaner.
+    // Pin the final projection OUTSIDE the loop state and release the
+    // last iteration's leaf: the returned frame must survive a caller's
+    // unpersist() and the ContextCleaner GCs its backing RDD with it.
     val result = x.select(col("qid"), col("vid"), col("x").as("score"))
       .localCheckpoint(true)
-    xCache.unpersist(false)
+    xLeaf.unpersist(false)
     val wall = (System.nanoTime() - t0) / 1e9
     (result, PprStats(iter, converged, nEdges * (iter - iter0).toLong * nQueries, wall))
   }

@@ -134,14 +134,66 @@ object BenchExtra {
         "q49_sessionize", "q50_ngram_stats", "q51_skipgrams")
 
     // Cache builds, split per memo table (the frozen bench reports ONE
-    // cache_build line; attribution needs the parts).
+    // cache_build line; attribution needs the parts). cache_rest runs
+    // warmSharedCaches for the remaining substrate (dictionaries, arc
+    // encodings, entity-df) exactly like the frozen bench's cache_build.
     if (qArgs.isEmpty) {
       phase("cache_triples") { DocQueries.triples(spark, sfDir); None }
       phase("cache_shingles") { DocQueries.docShingles(spark, sfDir); None }
       phase("cache_arcs") { DocQueries.entityArcs(spark, sfDir); None }
+      phase("cache_rest") { DocQueries.warmSharedCaches(spark, sfDir); None }
     }
     names.foreach { name =>
       phase(name)(noop(SparkEntry.queries(name)(spark, sfDir)))
+    }
+
+    // q52 estimate-only twin (round-6 verdict #4): the declared q52
+    // computes exact countDistinct NEXT TO the sketch (the oracle gate
+    // needs it), so its bench line measures the exact shuffle the sketch
+    // exists to avoid. These two lines show the sketch's reason to exist
+    // as a measured delta; the declared query and its oracle are
+    // untouched.
+    if (qArgs.isEmpty) {
+      import org.apache.spark.sql.functions._
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      phase("x52_exact_distinct")(noop(
+        ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact_users")).orderBy("event_type")))
+      phase("x52_sketch_only")(noop(
+        ev.groupBy("event_type")
+          .agg(graft.functions.SketchOps.regHllEstimate(
+            graft.functions.SketchOps.regHllAgg(col("user_id"), 12)).as("est"))
+          .orderBy("event_type")))
+    }
+
+    // Serve-path phases mirroring the frozen bench's part 1b (same
+    // workload, same store shapes) so serve optimizations carry
+    // before/after counters too.
+    if (qArgs.isEmpty) {
+      import org.apache.spark.sql.functions._
+      import graft.retrieve.{GraphStore, Indexer, Retriever}
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("text").as("content"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      val head = docs.limit((nDocs * 99 / 100).toInt).localCheckpoint(true)
+      val tail = docs.exceptAll(head).localCheckpoint(true)
+      val storeDir = Files.createTempDirectory("graft_bx_store").toString
+      val store = new GraphStore(spark, storeDir)
+      phase("serve_index") { Indexer.index(store, docs); None }
+      def batch(b: Int): Seq[(Long, String)] = (0 until 64).map(i =>
+        (b.toLong * 64 + i) -> s"document ${(b * 131 + i * 7) % 997} mentions topic ${(b * 17 + i) % 97}")
+      val cfg = Retriever.RetrieveConfig(retrievalTopK = 20)
+      phase("retrieve_cold") { Retriever.retrieve(store, batch(0), cfg).count(); None }
+      (1 to 3).foreach(b =>
+        phase(s"retrieve_warm$b") { Retriever.retrieve(store, batch(b), cfg).count(); None })
+      val deltaDir = Files.createTempDirectory("graft_bx_delta").toString
+      val deltaStore = new GraphStore(spark, deltaDir)
+      Indexer.index(deltaStore, head)
+      phase("index_delta_1pct") { Indexer.index(deltaStore, tail); None }
+      val rebuildDir = Files.createTempDirectory("graft_bx_rebuild").toString
+      phase("index_rebuild") { Indexer.index(new GraphStore(spark, rebuildDir), docs); None }
+      docs.unpersist(false)
     }
     println(s"""{"metric":"bench_extra_total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()

@@ -308,14 +308,14 @@ object DocQueries {
   }
 
   def qSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(documents(s, dir), "text", "doc_id")
+    Dedup.simHash(fanOut(documents(s, dir)), "text", "doc_id")
       .orderBy("key")
 
   /** Banded SimHash near-dup pair search (pigeonhole over maxHamming+1
     * bands — equi-join, never the all-pairs theta join).
     */
   def qSimHashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(Dedup.simHash(documents(s, dir), "text", "doc_id"),
+    Dedup.simHashPairs(Dedup.simHash(fanOut(documents(s, dir)), "text", "doc_id"),
         maxHamming = 3)
       .orderBy("a", "b")
 
@@ -389,11 +389,11 @@ object DocQueries {
   // ------------------------------------------------------------ text metrics
 
   def qLangId(s: SparkSession, dir: String): DataFrame =
-    TextMetrics.langId(documents(s, dir), "text")
+    TextMetrics.langId(fanOut(documents(s, dir)), "text")
       .select("doc_id", "pred_lang").orderBy("doc_id")
 
   def qQuality(s: SparkSession, dir: String): DataFrame =
-    TextMetrics.quality(documents(s, dir), "text", "doc_id")
+    TextMetrics.quality(fanOut(documents(s, dir)), "text", "doc_id")
       .select(col("doc_id"), col("n_tokens"),
         round(col("avg_token_len"), 9).as("avg_token_len"),
         round(col("stopword_ratio"), 9).as("stopword_ratio"),
@@ -401,11 +401,11 @@ object DocQueries {
       .orderBy("doc_id")
 
   def qTokenCounts(s: SparkSession, dir: String): DataFrame =
-    TextMetrics.tokenCounts(documents(s, dir), "text", "doc_id")
+    TextMetrics.tokenCounts(fanOut(documents(s, dir)), "text", "doc_id")
       .orderBy("doc_id")
 
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
-    TextMetrics.fingerprint(documents(s, dir), "text", "doc_id")
+    TextMetrics.fingerprint(fanOut(documents(s, dir)), "text", "doc_id")
       .orderBy("doc_id")
 
   /** HTML→text extraction (the pages input_hint's `html` column path):
@@ -791,7 +791,7 @@ object DocQueries {
     * identical arithmetic; a double sum would be fp-order-dependent).
     */
   def qBm25(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Bm25.search(documents(s, dir), "doc_id", "text",
+    graft.ops.Bm25.search(fanOut(documents(s, dir)), "doc_id", "text",
         query = "slow stream filter join", topK = 20)
       .select(col("doc").as("doc_id"), col("score_micro"), col("rank"))
       .orderBy("rank")

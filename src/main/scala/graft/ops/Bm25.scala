@@ -63,14 +63,17 @@ object Bm25 {
       "platform (see the portability note in graft.ops.Bm25's scaladoc)")
   }
 
-  /** Corpus norm shared with the rest of the engine (q01 semantics). */
-  private def norm(c: org.apache.spark.sql.Column) =
-    trim(regexp_replace(lower(c), "[^a-z0-9 ]", " "))
-
+  /** Tokenization on the byte-scan kernels (round 7): TextNormalize ≡
+    * trim(regexp_replace(lower(c), "[^a-z0-9 ]", " ")) and SpaceTokens ≡
+    * filter(split(norm, " +"), _ != "") — both property-tested
+    * byte-equal to the regex built-ins (CoreSpec), and java.util.regex
+    * thread-scales at ~0.30 on this hardware class (graftx.TextKernels
+    * doc) while sitting on BM25's only full-corpus passes.
+    */
   private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc"),
-        explode(split(norm(col(textCol)), " +")).as("term"))
-      .where(col("term") =!= "")
+        explode(graft.core.TextOps.tokens(
+          graft.core.TextOps.textProcessing(col(textCol)))).as("term"))
 
   /** Per-(doc, term) BM25 statistics and score. */
   def termScores(docs: DataFrame, idCol: String, textCol: String,
@@ -102,12 +105,39 @@ object Bm25 {
     */
   def search(docs: DataFrame, idCol: String, textCol: String, query: String,
              topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    lnSentinelCheck
     val spark = docs.sparkSession
     import spark.implicits._
     val qTerms = query.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
       .split(" +").filter(_.nonEmpty).distinct.toSeq.toDF("term")
-    val scored = termScores(docs, idCol, textCol, k1, b)
-      .join(broadcast(qTerms), "term")
+    // Round 7 restructure (identical arithmetic, fewer corpus passes):
+    // the old path went through termScores — tf/dl/df each re-derived
+    // the tokenization, 4 full passes per search — and only then dropped
+    // every non-query term. Filter to the query terms BEFORE tf (the
+    // broadcast join pushes into the tokenize scan), compute df from the
+    // filtered tf (df of a term restricted to query terms == its global
+    // df), and keep only dl + N/avgdl as full-corpus passes: 2 passes
+    // total, both on the byte-scan kernels. Every statistic reaching the
+    // score expression is the same integer as before, so the per-term
+    // doubles are bitwise-identical and the micro-sum is unchanged
+    // (oracle hash re-verified).
+    val toks = tokens(docs, idCol, textCol)
+    val tfQ = toks.join(broadcast(qTerms), "term")
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc").agg(count(lit(1)).as("dl"))
+    val global = docs.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(dl.agg(avg("dl").as("avgdl")))
+    val idf = tfQ.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(global))
+      .select(col("term"), col("df"),
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0).as("idf"))
+    val scored = tfQ.join(dl, "doc")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(global.select("avgdl")))
+      .select(col("doc"),
+        (col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("score"))
       .groupBy("doc")
       .agg(sum(round(col("score") * 1e6).cast("long")).as("score_micro"))
     // orderBy+limit compiles to TakeOrderedAndProject (per-partition

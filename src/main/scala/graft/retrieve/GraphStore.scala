@@ -45,9 +45,26 @@ final class ServingGraph private[retrieve] (
     }
   }
 
+  /** Snapshot-constant passage readout frame (vid, chunk_id, content) —
+    * built from the verts snapshot on first use, persisted, reused by
+    * every batch on this graph version (round 7: each warm retrieve
+    * re-ran the lake read + dictionary join).
+    */
+  private var passagesV: Option[DataFrame] = None
+  def passages(verts: DataFrame): DataFrame = synchronized {
+    passagesV.getOrElse {
+      val p = verts.where(col("kind") === graft.graph.GraphBuild.PassageKind)
+        .join(dict, "key")
+        .select(col("vid"), col("key").as("chunk_id"), col("content"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      passagesV = Some(p); p
+    }
+  }
+
   private[retrieve] def release(): Unit = synchronized {
     runnerV.foreach(_.close()); runnerV = None
     csrV = None
+    passagesV.foreach(_.unpersist(false)); passagesV = None
     arcs.unpersist(false)
     dict.unpersist(false)
   }
@@ -205,12 +222,13 @@ class GraphStore(
     */
   def retainEmbeddings(table: SnapshotTable, liveIds: DataFrame): DataFrame = {
     val existing = table.readOrEmpty(embSchema)
-    if (table.isEmpty) table.commit(existing, op = "retain")
-    else {
-      val dead = existing.select("hash_id")
-        .join(liveIds, Seq("hash_id"), "left_anti")
-      table.commitDelta(None, Some(dead), Seq("hash_id"), op = "retain")
-    }
+    // Empty table: nothing to retain — the old path committed an EMPTY
+    // data segment (one wasted write job per table per fresh index; the
+    // following upsert mints the first real snapshot either way).
+    if (table.isEmpty) return existing
+    val dead = existing.select("hash_id")
+      .join(liveIds, Seq("hash_id"), "left_anti")
+    table.commitDelta(None, Some(dead), Seq("hash_id"), op = "retain")
     table.read()
   }
 }

@@ -249,15 +249,33 @@ object Indexer {
     val chunkEnts = Extract.chunkEntities(triplesNow)
     val ents = Extract.entities(chunkEnts)
 
-    val entityE = syncEmbeddings(store, chunksNow, ents, triplesNow, retain = true)
-
-    val factE = GraphBuild.factEdges(triplesNow)
-    val passE = GraphBuild.passageEdges(chunkEnts)
-    val synE = synonymyEdges(entityE, syn)
-    store.factEdges.commit(factE, "rebuild")
-    store.passageEdges.commit(passE, "rebuild")
-    store.synEdges.commit(synE, "rebuild")
-    commitMerged(store, ents, chunksNow)
+    // Overlap the independent write jobs (guide 2.6): the three
+    // embedding-store syncs, the fact/passage edge commits and the
+    // vertex commit share no tables — Spark's FIFO scheduler backfills
+    // one commit's task tail with the next one's tasks. Only synonymy
+    // (needs the synced entity embeddings) and the merged edge view
+    // (needs all three families) are ordered after.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val fEntityE = pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame =
+          syncEmbeddings(store, chunksNow, ents, triplesNow, retain = true)
+      })
+      val others = Seq(
+        pool.submit(new Runnable { def run(): Unit = {
+          store.factEdges.commit(GraphBuild.factEdges(triplesNow), "rebuild"); () } }),
+        pool.submit(new Runnable { def run(): Unit = {
+          store.passageEdges.commit(GraphBuild.passageEdges(chunkEnts), "rebuild"); () } }),
+        pool.submit(new Runnable { def run(): Unit = {
+          store.vertices.commit(GraphBuild.vertices(ents, chunksNow), "merge"); () } }))
+      val entityE = fEntityE.get()
+      others.foreach(_.get())
+      store.synEdges.commit(synonymyEdges(entityE, syn), "rebuild")
+    } finally pool.shutdown()
+    val allEdges = GraphBuild.edges(
+      store.factEdges.read(), store.passageEdges.read(), store.synEdges.read())
+    store.edges.commit(allEdges, "merge")
+    stats(store, ents, chunksNow)
   }
 
   /** I2 — delta rebuild: only the `newChunkIds` chunks contribute new
@@ -356,12 +374,13 @@ object Indexer {
     lap("delta vertices append")(store.vertices.commitAppend(newVerts, "index-delta"))
 
     // Entity total from the post-sync embedding store (== the distinct
-    // entity set — the sync invariant above), not a full re-extraction.
+    // entity set — the sync invariant above), not a full re-extraction;
+    // manifest-exact counts where the lineage kept them.
     lap("delta stats")(IndexStats(
-      totalChunks = chunksNow.count(),
-      entities = entityE.count(),
-      edges = store.edges.read().count(),
-      vertices = store.vertices.read().count()))
+      totalChunks = tableRows(store.chunks),
+      entities = tableRows(store.entityEmb),
+      edges = tableRows(store.edges),
+      vertices = tableRows(store.vertices)))
   }
 
   /** Embedding-store sync shared by both rebuild paths: upsert missing
@@ -381,15 +400,24 @@ object Indexer {
     val entRows = ents.select(col("entity_id").as("hash_id"), col("entity").as("content"))
     val factRows = facts.select(col("fact_id").as("hash_id"),
       Extract.factContent(col("subj"), col("pred"), col("obj")).as("content"))
-    if (retain) {
-      store.retainEmbeddings(store.chunkEmb, chunkRows.select("hash_id"))
-      store.retainEmbeddings(store.entityEmb, entRows.select("hash_id"))
-      store.retainEmbeddings(store.factEmb, factRows.select("hash_id"))
-    }
-    store.upsertEmbeddings(store.chunkEmb, chunkRows, store.embedChunk)
-    val entityE = store.upsertEmbeddings(store.entityEmb, entRows, store.embedEntity)
-    store.upsertEmbeddings(store.factEmb, factRows, store.embedFact)
-    entityE
+    // The three per-table retain→upsert chains touch disjoint tables —
+    // overlap them (guide 2.6); the entity chain's result is returned.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      def sync(table: graft.lake.SnapshotTable, rows: DataFrame,
+               embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = {
+            if (retain) store.retainEmbeddings(table, rows.select("hash_id"))
+            store.upsertEmbeddings(table, rows, embed)
+          }
+        })
+      val fChunk = sync(store.chunkEmb, chunkRows, store.embedChunk)
+      val fEntity = sync(store.entityEmb, entRows, store.embedEntity)
+      val fFact = sync(store.factEmb, factRows, store.embedFact)
+      fChunk.get(); fFact.get()
+      fEntity.get()
+    } finally pool.shutdown()
   }
 
   private def commitMerged(store: GraphStore, ents: DataFrame,
@@ -420,13 +448,26 @@ object Indexer {
     store.edges.commitDelta(Some(merged), Some(changedKeys), Seq("src", "dst"), op)
   }
 
+  /** Row count of a table's CURRENT snapshot from its manifest when the
+    * lineage kept it exact (full commits and pure appends), falling back
+    * to a scan only after tombstone deltas (rows == -1, "unknown without
+    * a scan"). The old stats() always re-scanned four tables — four jobs
+    * per index() whose answers the commit lineage already held.
+    */
+  private def tableRows(t: graft.lake.SnapshotTable): Long =
+    t.currentSnapshot.map(t.manifest(_)).map(m =>
+      if (m.rows >= 0L) m.rows else t.read().count()).getOrElse(0L)
+
   private def stats(store: GraphStore, ents: DataFrame,
                     chunksNow: DataFrame): IndexStats =
     IndexStats(
-      totalChunks = chunksNow.count(),
-      entities = ents.count(),
-      edges = store.edges.read().count(),
-      vertices = store.vertices.read().count())
+      totalChunks = tableRows(store.chunks),
+      // == the distinct entity set: every index/delete path syncs the
+      // entity embedding store for exactly the live entities (the
+      // syncEmbeddings invariant incrementalRebuild already relies on).
+      entities = tableRows(store.entityEmb),
+      edges = tableRows(store.edges),
+      vertices = tableRows(store.vertices))
 
   /** G3 — synonymy expansion (reference add_synonymy_edges,
     * HippoRAG.py:959-1020): cosine KNN over entity embeddings; queries

@@ -222,8 +222,10 @@ object Retriever {
           // (hash-repartitioned by qid, grouped inside tasks). Passage
           // weights are dense over all chunks per query (reference
           // semantics), so a driver collect here would be Q×V rows — the
-          // round-1 OOM path this replaces.
-          sg.runner.runFrame(seeds, pprCfg)._1
+          // round-1 OOM path this replaces. LAZY (round 7): the readout
+          // below is the single consumer, so the eager persist+count was
+          // a whole extra pass over the Q×V score rows per batch.
+          sg.runner.runFrameLazy(seeds, pprCfg)
         case "csr" =>
           val blocks = graft.graph.Adjacency.csrBlocks(spark, arcs,
             edgesPerBlock = 1 << 16)
@@ -242,10 +244,11 @@ object Retriever {
           Ppr.run(spark, arcs, nVertices, seeds, pprCfg)._1
       }
 
-    // --- W6 readout: passage nodes only, rank desc per query.
-    val passages = verts.where(col("kind") === graft.graph.GraphBuild.PassageKind)
-      .join(dict, "key")
-      .select(col("vid"), col("key").as("chunk_id"), col("content"))
+    // --- W6 readout: passage nodes only, rank desc per query — the
+    // (vid, chunk_id, content) frame is snapshot-constant, so it lives
+    // on the serving-graph cache with the dictionary (each warm batch
+    // re-derived the lake read + dictionary join before round 7).
+    val passages = sg.passages(verts)
     val ranked = scores.join(passages, "vid")
       .select(col("qid"), col("chunk_id"), col("content"), col("score"))
     val wr = Window.partitionBy("qid").orderBy(col("score").desc, col("chunk_id").asc)
@@ -256,7 +259,7 @@ object Retriever {
     // result (≤ topK rows/query) and release the V-sized score cache so
     // repeated batches don't accumulate one cached frame each.
     val pinned = out.localCheckpoint(true)
-    scores.unpersist(false)
+    scores.unpersist(false) // no-op for the lazy shard plan; frees csr/shuffle paths
     pinned
   }
 

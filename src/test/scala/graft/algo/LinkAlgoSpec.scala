@@ -569,6 +569,25 @@ class LinkAlgoSpec extends SparkSpec {
       "string LPA gate")
   }
 
+  test("HyperBall driver gate == distributed sketch loop (r7 gate)") {
+    // Same RegHll register ops on both paths: per-vertex (ball_size,
+    // harm) must be EXACTLY equal; the curve sums per-vertex sizes in a
+    // different order, so it is compared to 1e-9 relative.
+    val arcs = randomArcs(80, 320, 77L).map(a => (a._1, a._2)).distinct
+    val verts = (0L until 80L).toDF("vid")
+    val arcsDf = arcs.toDF("src", "dst")
+    val (cG, bG) = Neighborhood.hyperball(arcsDf, verts, lgK = 8)
+    val (cD, bD) = Neighborhood.hyperball(arcsDf, verts, lgK = 8, localKernelMax = 0)
+    assert(cG.length == cD.length, s"curve lengths ${cG.length} vs ${cD.length}")
+    cG.zip(cD).foreach { case ((tg, vg), (td, vd)) =>
+      assert(tg == td && math.abs(vg - vd) <= 1e-9 * math.max(1.0, vd),
+        s"curve@$tg: $vg vs $vd")
+    }
+    val g = bG.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val d = bD.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(g == d, "per-vertex ball_size/harm mismatch")
+  }
+
   test("CC local contraction: identical labels with preContract on/off") {
     val arcs = graft.graph.Adjacency.symmetrize(
       randomArcs(200, 150, 99L).toDF("src", "dst", "weight"))
