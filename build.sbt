@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 24g default: the image has 128 GiB; an 8g heap makes the 32-thread
   // extraction/bench runs GC-bound and kills core-scaling.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Xms == Xmx: the default tiny initial heap made the FIRST bench
+  // action pay seconds of grow-the-heap GC churn (measured 4.5 s of GC
+  // inside the cache_build line at sf0.1) — fixed sizing removes the
+  // resize cycles without touching any timed methodology.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

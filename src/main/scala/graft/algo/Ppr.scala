@@ -134,20 +134,45 @@ object Ppr {
     val alpha = cfg.damping
     val threshold = nVertices.toDouble * cfg.tol
 
-    // State invariant: x is a MATERIALIZED leaf hash-partitioned by
-    // (qid, vid) — the update joins reuse it as-is; only the gather join
-    // re-keys it by vid (a state-sized exchange) and the contribution
-    // transpose shuffles once. Per iteration: TWO state-sized exchanges,
-    // ZERO arc-sized ones (was: one O(E) exchange + sort per sweep).
-    // xLeaf = the materialized leaf (may carry the xo/isd bookkeeping
-    // columns); x = its 3-column state view. Projection preserves the
-    // leaf's partitioning, and unpersist must target the LEAF.
-    var xLeaf = ckpt(prior.map(_.ranks).getOrElse(
-        p.select(col("qid"), col("vid"), col("p").as("x")))
-      .repartition(nPart, col("qid"), col("vid")))
+    // State invariant (FUSED state): one MATERIALIZED leaf
+    // (qid, vid, x, p, isd) — the per-(qid,vid) loop constants p and isd
+    // ride IN the state instead of being re-joined every sweep (support
+    // monotonicity: support(p) ⊆ support(x) forever, and a row entering
+    // via contrib gets p = 0 / isd = false, exactly what the old 3-way
+    // full_outer chain coalesced). Per iteration the update is then ONE
+    // full_outer (contrib × state) plus a broadcast of the Q-row dangle
+    // frame: two fewer state-sized joins/sorts than the chained form,
+    // zero arc-sized exchanges (the arcs' cached hash(a_src) feeds the
+    // gather directly).
+    val initState = prior match {
+      case Some(st) =>
+        // support(ranks) ⊇ support(p) at every checkpoint — left joins
+        // are complete.
+        st.ranks
+          .join(p, Seq("qid", "vid"), "left")
+          .join(danglingSeeds.withColumn("isd", lit(true)), Seq("qid", "vid"), "left")
+          .select(col("qid"), col("vid"), col("x"),
+            coalesce(col("p"), lit(0.0)).as("p"),
+            coalesce(col("isd"), lit(false)).as("isd"))
+      case None =>
+        p.join(danglingSeeds.withColumn("isd", lit(true)), Seq("qid", "vid"), "left")
+          .select(col("qid"), col("vid"), col("p").as("x"), col("p"),
+            coalesce(col("isd"), lit(false)).as("isd"))
+    }
+    // The state is persisted + re-leafed (constant-size plan); a
+    // localCheckpoint every `checkpointEvery` iterations truncates RDD
+    // lineage. NOTE the update's full_outer yields UNKNOWN output
+    // partitioning either way (its key columns are coalesced from both
+    // sides), so an every-iteration partitioning-preserving checkpoint
+    // would buy nothing and cost one extra job per sweep — the exchange
+    // math is unchanged: gather re-keys the state by vid, the transpose
+    // shuffles the contributions, the update re-keys the state by
+    // (qid, vid); all state-sized, never arc-sized.
+    var xLeaf = ckpt(initState.repartition(nPart, col("qid"), col("vid")))
+    var xCache = xLeaf
     var x = xLeaf.select("qid", "vid", "x")
     var dangle: Map[Long, Double] = prior.map(_.dangle).getOrElse {
-      x.join(danglingSeeds, Seq("qid", "vid"))
+      xLeaf.where(col("isd"))
         .groupBy("qid").agg(sum("x").as("ds"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     }
@@ -176,17 +201,16 @@ object Ppr {
       // support(p) ∪ support(contrib) — no old-rank row can vanish
       // without a matching update row.
       val joined = contrib
-        .join(p.withColumnRenamed("vid", "v"), Seq("qid", "v"), "full_outer")
-        .join(x.withColumnRenamed("x", "xo").withColumnRenamed("vid", "v"),
+        .join(xLeaf.select(col("qid"), col("vid").as("v"), col("x").as("xold"),
+            col("p"), col("isd")),
           Seq("qid", "v"), "full_outer")
         .join(broadcast(dangleDf), Seq("qid"), "left")
-        .join(danglingSeeds.withColumn("isd", lit(true)).withColumnRenamed("vid", "v"),
-          Seq("qid", "v"), "left")
         .select(col("qid"), col("v").as("vid"),
           (lit(alpha) * (coalesce(col("c"), lit(0.0)) +
              coalesce(col("ds"), lit(0.0)) * coalesce(col("p"), lit(0.0))) +
            lit(1.0 - alpha) * coalesce(col("p"), lit(0.0))).as("x"),
-          coalesce(col("xo"), lit(0.0)).as("xo"),
+          coalesce(col("xold"), lit(0.0)).as("xo"),
+          coalesce(col("p"), lit(0.0)).as("p"),
           coalesce(col("isd"), lit(false)).as("isd"))
       // Materialize the new state as a partitioning-preserving leaf
       // (constant-size plan, linear RDD lineage — the fused update
@@ -196,7 +220,21 @@ object Ppr {
       // persist + every-K localCheckpoint pair: localCheckpoint is the
       // only re-root that KEEPS outputPartitioning, which is what makes
       // the update joins exchange-free.
-      val pinned = ckpt(joined)
+      // Plan forensics (GRAFT_PPR_EXPLAIN=1): dump the first iteration's
+      // formatted plan so Exchange counts are auditable from artifacts.
+      if (iter == iter0 && sys.env.get("GRAFT_PPR_EXPLAIN").contains("1"))
+        System.err.println("[ppr-plan]\n" + joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      // ONE action per iteration: the stats aggregate materializes the
+      // persisted state as a side effect (lineage truncated every
+      // checkpointEvery iters; re-leaf keeps the plan constant-size).
+      val joined0 = joined.persist(StorageLevel.MEMORY_AND_DISK)
+      val pinned =
+        if ((iter + 1) % cfg.checkpointEvery == 0) {
+          val chk = ckpt(joined0)
+          joined0.unpersist(false)
+          chk
+        } else joined0
       val stats = pinned
         .groupBy("qid")
         .agg(
@@ -205,9 +243,13 @@ object Ppr {
         .collect()
       val errs = stats.map(r => r.getLong(0) -> r.getDouble(1)).toMap
       dangle = stats.map(r => r.getLong(0) -> r.getDouble(2)).toMap
-      xLeaf.unpersist(false)
-      xLeaf = pinned
-      x = pinned.select("qid", "vid", "x")
+      xCache.unpersist(false)
+      xCache = pinned
+      xLeaf = {
+        val proj = pinned.select("qid", "vid", "x", "p", "isd")
+        spark.createDataFrame(proj.rdd, proj.schema)
+      }
+      x = xLeaf.select("qid", "vid", "x")
       iter += 1
       converged = errs.nonEmpty && errs.values.forall(_ < threshold)
       cfg.checkpointDir.foreach { dir =>
@@ -227,7 +269,7 @@ object Ppr {
     // unpersist() and the ContextCleaner GCs its backing RDD with it.
     val result = x.select(col("qid"), col("vid"), col("x").as("score"))
       .localCheckpoint(true)
-    xLeaf.unpersist(false)
+    xCache.unpersist(false)
     val wall = (System.nanoTime() - t0) / 1e9
     (result, PprStats(iter, converged, nEdges * (iter - iter0).toLong * nQueries, wall))
   }
