@@ -57,8 +57,18 @@ object Jobs {
     case "ppr" :: arcs :: seeds :: out :: rest if rest.size <= 1 =>
       val a = spark.read.parquet(arcs)
       val s = spark.read.parquet(seeds)
-      val nV = a.select(col("src").as("v"))
-        .unionAll(a.select(col("dst").as("v"))).agg(max("v")).first().getLong(0) + 1
+      // nV over arc endpoints AND seed vids (round-6 advice: a seed vid
+      // beyond every arc endpoint would otherwise get an nV too small for
+      // it), with a clear usage error on an empty graph instead of the
+      // opaque NPE a null max() produced.
+      val maxRow = a.select(col("src").as("v"))
+        .unionAll(a.select(col("dst").as("v")))
+        .unionAll(s.select(col("vid").cast("long").as("v")))
+        .agg(max("v")).first()
+      if (maxRow.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"ppr: no arcs and no seeds found under $arcs / $seeds — nothing to rank")
+      val nV = maxRow.getLong(0) + 1
       val cfg = graft.algo.PprConfig(checkpointDir = rest.headOption)
       val (scores, stats) = rest.headOption match {
         case Some(_) => graft.algo.Ppr.resume(spark, a, nV, s, cfg)

@@ -56,11 +56,21 @@ object Bm25 {
   private lazy val lnSentinelCheck: Unit = lnSentinels.foreach { case (in, exp) =>
     val got = java.lang.Double.doubleToRawLongBits(
       math.log(java.lang.Double.longBitsToDouble(in)))
-    require(got == exp,
-      s"Math.log sentinel mismatch (got bits $got, expected $exp for input bits $in): " +
-      "this platform's libm rounds ln differently from the one the committed " +
-      "BM25 oracle hashes were produced on — re-derive the q48 oracle on this " +
-      "platform (see the portability note in graft.ops.Bm25's scaladoc)")
+    if (got != exp) {
+      val msg =
+        s"Math.log sentinel mismatch (got bits $got, expected $exp for input bits $in): " +
+        "this platform's libm rounds ln differently from the one the committed " +
+        "BM25 oracle hashes were produced on — re-derive the q48 oracle on this " +
+        "platform (see the portability note in graft.ops.Bm25's scaladoc)"
+      // A 1-ulp libm drift rarely moves any round(score*1e6) output; only
+      // the ORACLE-HASH comparison is at stake, never serving correctness.
+      // Production callers can therefore degrade the hard fail to a loud
+      // warning (round-6 advice); the default stays fail-fast so an
+      // oracle-gated environment cannot silently drift.
+      if (sys.env.get("GRAFT_BM25_LN_WARN").contains("1"))
+        System.err.println(s"[bm25] WARNING: $msg")
+      else throw new IllegalStateException(msg)
+    }
   }
 
   /** Tokenization on the byte-scan kernels (round 7): TextNormalize ≡

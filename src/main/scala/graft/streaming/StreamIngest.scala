@@ -70,9 +70,15 @@ object StreamIngest {
     * watermark passes its last event + gap. Spec-pinned equal to the
     * batch rollup on closed sessions (StreamIngestSpec).
     *
-    * 100-TB shape: state is O(open sessions) = O(active users), sharded
-    * by the state store across partitions; each micro-batch shuffles only
-    * its own events by user. Late events inside the watermark fold into
+    * 100-TB shape: OPEN-session payload is O(active users), but the
+    * state-store ENTRY count is O(distinct users ever seen): on event-time
+    * timeout the closed session is emitted and the entry is kept (n = 0)
+    * so the per-user session ORDINAL stays continuous with the batch twin
+    * — the documented price of ordinal parity (round-6 advice). A
+    * deployment that cannot afford ever-seen-user state removes the entry
+    * on timeout and accepts per-restart ordinal resets (or persists the
+    * counters out of band). Entries are sharded by the state store across
+    * partitions; each micro-batch shuffles only its own events by user. Late events inside the watermark fold into
     * their session exactly like the batch (ts, event_id) ordering; events
     * later than the watermark are dropped by the stateful operator — the
     * documented streaming trade the watermark declares.
